@@ -132,6 +132,21 @@ def point_in_triangle(p, a, b, c, eps=EPSILON):
     return same_side(p, a, b, c, eps) & same_side(p, b, c, a, eps) & same_side(p, c, a, b, eps)
 
 
+def point_in_triangle_relative(p, a, b, c, rel_tol=1e-4):
+    """Scale-aware containment test for f32 kernels: signed sub-areas against
+    the face normal, thresholded relative to the squared face area. Unlike the
+    reference's absolute -1e-8 epsilon (point.cpp:36-44) this is robust for
+    points exactly on an edge at float32 with coordinates of magnitude ~100,
+    while agreeing with the reference test away from boundaries."""
+    n = jnp.cross(b - a, c - a)
+    nn = jnp.sum(n * n, axis=-1)
+    s1 = jnp.sum(jnp.cross(c - b, p - b) * n, axis=-1)
+    s2 = jnp.sum(jnp.cross(a - c, p - c) * n, axis=-1)
+    s3 = jnp.sum(jnp.cross(b - a, p - a) * n, axis=-1)
+    tol = -rel_tol * nn
+    return (s1 >= tol) & (s2 >= tol) & (s3 >= tol)
+
+
 def dist_to_triangle_boundary(x0, x1, x2, x3):
     """Triangle::dist_to_point (triangle.cpp:85-122): min distance from x0 to
     the triangle's edges (when the foot falls inside the segment) and

@@ -1,0 +1,148 @@
+"""Mesh untangling (fold removal) as a jitted fixed-shape loop.
+
+Reference semantics (reg_tools.cpp:118-177): a vertex is "folded" when any
+incident face normal deviates from the vertex's first incident face normal
+by dot <= 0.5; folded vertices move along the negative area-gradient with
+per-vertex step halving until locally unfolded, repeated (<=1000 sweeps)
+until fold-free.
+
+The reference updates vertices sequentially inside a sweep; here all folded
+vertices update in parallel per sweep (each against the current neighbour
+positions), which converges to the same fold-free fixed point — the outer
+loop only terminates when no folds remain, which is the correctness gate the
+registration drivers rely on.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import spherical as sph
+from ..core.mesh import Mesh
+
+RAD = 100.0
+
+
+def _face_normals(coords, faces):
+    v0 = coords[faces[:, 0]]
+    v1 = coords[faces[:, 1]]
+    v2 = coords[faces[:, 2]]
+    return sph.tri_normal(v0, v1, v2)
+
+
+def _folded_mask(coords, faces, tri_idx):
+    """check_for_intersections per vertex (reg_tools.cpp:118-129)."""
+    fn = _face_normals(coords, faces)                  # (T,3)
+    first = fn[tri_idx[:, 0]]                          # (N,3) first incident face
+    gathered = fn[jnp.clip(tri_idx, 0, fn.shape[0] - 1)]  # (N,MT,3)
+    dots = jnp.sum(gathered * first[:, None, :], axis=-1)
+    valid = tri_idx >= 0
+    return jnp.any((dots <= 0.5) & valid, axis=1)
+
+
+def _area_gradients(coords, faces, tri_idx):
+    """spatialgradient (reg_tools.cpp:95-116): per vertex, sum over incident
+    triangles of the area gradient wrt that vertex."""
+    MT = tri_idx.shape[1]
+    t = jnp.clip(tri_idx, 0, faces.shape[0] - 1)       # (N,MT)
+    fv = faces[t]                                      # (N,MT,3)
+    vid = jnp.arange(coords.shape[0])[:, None]
+    # rotate face vertices so the own vertex comes last:
+    # (v0,v1,v2) with ci==v0 -> (v1,v2,v0); ci==v1 -> (v2,v0,v1); else (v0,v1,v2)
+    is0 = fv[..., 0] == vid
+    is1 = fv[..., 1] == vid
+    a = jnp.where(is0, fv[..., 1], jnp.where(is1, fv[..., 2], fv[..., 0]))
+    b = jnp.where(is0, fv[..., 2], jnp.where(is1, fv[..., 0], fv[..., 1]))
+    c = jnp.where(is0, fv[..., 0], jnp.where(is1, fv[..., 1], fv[..., 2]))
+    va, vb, vc = coords[a], coords[b], coords[c]
+
+    # computeGradientOfBarycentricTriangle(va, vb, vc) (reg_tools.cpp:59-93)
+    s1 = sph.normalize(vc - va, eps=1e-10)
+    s2 = sph.normalize(vb - va, eps=1e-10)
+    n_tri = sph.normalize(jnp.cross(s1, s2), eps=1e-10)
+    n_edge = jnp.cross(s2, n_tri)
+    flip = jnp.sum(s1 * n_edge, axis=-1) < 0
+    n_edge = jnp.where(flip[..., None], -n_edge, n_edge)
+    base = jnp.linalg.norm(vb - va, axis=-1)
+    dA = n_edge * (0.5 * base)[..., None]
+    dA = dA * (tri_idx >= 0)[..., None]
+    return jnp.sum(dA, axis=1)                         # (N,3)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "n_steps"))
+def unfold_kernel(coords, faces, tri_idx, max_iter: int = 1000, n_steps: int = 11):
+    """Returns (coords, n_remaining_folds, iterations)."""
+    N = coords.shape[0]
+    steps = 2.0 ** -jnp.arange(n_steps, dtype=coords.dtype)   # 1, 0.5, ... ~1e-3
+
+    def per_vertex_update(coords, grads, folded):
+        # candidate positions per step: (N, S, 3)
+        cand = coords[:, None, :] - grads[:, None, :] * steps[None, :, None]
+        cand = sph.normalize(cand) * RAD
+
+        # evaluate fold state for each candidate of each folded vertex.
+        # incident face normals with only the own vertex replaced:
+        fv = faces[jnp.clip(tri_idx, 0, faces.shape[0] - 1)]  # (N,MT,3)
+        vid = jnp.arange(N)[:, None, None]
+
+        def normals_for(candidate):
+            # candidate: (N,3) position per vertex; others at current coords
+            p0 = jnp.where((fv[..., 0:1] == vid), candidate[:, None, :], coords[fv[..., 0]])
+            p1 = jnp.where((fv[..., 1:2] == vid), candidate[:, None, :], coords[fv[..., 1]])
+            p2 = jnp.where((fv[..., 2:3] == vid), candidate[:, None, :], coords[fv[..., 2]])
+            return sph.tri_normal(p0, p1, p2)          # (N,MT,3)
+
+        def fold_state(candidate):
+            fnl = normals_for(candidate)
+            first = fnl[:, 0, :]
+            dots = jnp.sum(fnl * first[:, None, :], axis=-1)
+            return jnp.any((dots <= 0.5) & (tri_idx >= 0), axis=1)  # (N,)
+
+        states = jax.vmap(fold_state, in_axes=1, out_axes=1)(cand)  # (N,S)
+        # first step that unfolds; else the last step (reference do/while exit)
+        ok = ~states
+        any_ok = ok.any(axis=1)
+        first_ok = jnp.argmax(ok, axis=1)
+        sel = jnp.where(any_ok, first_ok, n_steps - 1)
+        chosen = jnp.take_along_axis(cand, sel[:, None, None], axis=1)[:, 0, :]
+        return jnp.where(folded[:, None], chosen, coords)
+
+    def cond(state):
+        coords, it, nf = state
+        return (nf > 0) & (it < max_iter)
+
+    def body(state):
+        coords, it, _ = state
+        folded = _folded_mask(coords, faces, tri_idx)
+        grads = _area_gradients(coords, faces, tri_idx)
+        coords = per_vertex_update(coords, grads, folded)
+        nf = jnp.sum(_folded_mask(coords, faces, tri_idx))
+        return coords, it + 1, nf
+
+    nf0 = jnp.sum(_folded_mask(coords, faces, tri_idx))
+    coords, it, nf = jax.lax.while_loop(cond, body, (coords, 0, nf0))
+    return coords, nf, it
+
+
+def unfold(mesh: Mesh, verbose: bool = False) -> Mesh:
+    """Host wrapper: returns a fold-free copy of `mesh`."""
+    _, _, tri_idx, _ = mesh.adjacency
+    coords, nf, it = unfold_kernel(
+        jnp.asarray(mesh.coords, jnp.float32),
+        jnp.asarray(mesh.faces),
+        jnp.asarray(tri_idx),
+    )
+    if verbose and int(it) > 0:
+        print(f"unfold: {int(it)} sweeps, {int(nf)} residual folds")
+    out = mesh.copy()
+    out.coords = np.asarray(coords, np.float64)
+    return out
+
+
+def count_folds(mesh: Mesh) -> int:
+    _, _, tri_idx, _ = mesh.adjacency
+    return int(jnp.sum(_folded_mask(jnp.asarray(mesh.coords, jnp.float32),
+                                    jnp.asarray(mesh.faces), jnp.asarray(tri_idx))))

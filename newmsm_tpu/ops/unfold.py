@@ -73,8 +73,20 @@ def _area_gradients(coords, faces, tri_idx):
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter", "n_steps"))
-def unfold_kernel(coords, faces, tri_idx, max_iter: int = 1000, n_steps: int = 11):
-    """Returns (coords, n_remaining_folds, iterations)."""
+def unfold_kernel(coords, faces, tri_idx, vgroups, vgroup_mask, nbr_idx,
+                  max_iter: int = 1000, n_steps: int = 11):
+    """Returns (coords, n_remaining_folds, iterations).
+
+    vgroups/vgroup_mask: (C,G) conflict-free vertex color groups — a vertex's
+    fold state depends only on its 1-ring, so updating one color at a time
+    reproduces the reference's sequential-visibility semantics and avoids
+    neighbouring folded vertices re-folding each other.
+
+    Where no gradient step unfolds a vertex (the reference then keeps its
+    smallest step and stalls on everted clusters, reg_tools.cpp:163-172),
+    the vertex instead moves to its 1-ring centroid projected to the sphere
+    (a Tutte-style contraction) — this dissolves tangled clusters the
+    area-gradient alone cannot."""
     N = coords.shape[0]
     steps = 2.0 ** -jnp.arange(n_steps, dtype=coords.dtype)   # 1, 0.5, ... ~1e-3
 
@@ -102,13 +114,21 @@ def unfold_kernel(coords, faces, tri_idx, max_iter: int = 1000, n_steps: int = 1
             return jnp.any((dots <= 0.5) & (tri_idx >= 0), axis=1)  # (N,)
 
         states = jax.vmap(fold_state, in_axes=1, out_axes=1)(cand)  # (N,S)
-        # first step that unfolds; else the last step (reference do/while exit)
+        # first step that unfolds; else centroid fallback
         ok = ~states
         any_ok = ok.any(axis=1)
         first_ok = jnp.argmax(ok, axis=1)
         sel = jnp.where(any_ok, first_ok, n_steps - 1)
         chosen = jnp.take_along_axis(cand, sel[:, None, None], axis=1)[:, 0, :]
+
+        nb = coords[jnp.clip(nbr_idx, 0, N - 1)] * (nbr_idx >= 0)[..., None]
+        centroid = nb.sum(axis=1) / jnp.maximum(
+            (nbr_idx >= 0).sum(axis=1), 1)[:, None]
+        centroid = sph.normalize(centroid) * RAD
+        chosen = jnp.where(any_ok[:, None], chosen, centroid)
         return jnp.where(folded[:, None], chosen, coords)
+
+    n_colors = vgroups.shape[0]
 
     def cond(state):
         coords, it, nf = state
@@ -116,9 +136,15 @@ def unfold_kernel(coords, faces, tri_idx, max_iter: int = 1000, n_steps: int = 1
 
     def body(state):
         coords, it, _ = state
-        folded = _folded_mask(coords, faces, tri_idx)
-        grads = _area_gradients(coords, faces, tri_idx)
-        coords = per_vertex_update(coords, grads, folded)
+
+        def do_color(c, coords):
+            in_group = jnp.zeros((N,), bool).at[
+                jnp.where(vgroup_mask[c], vgroups[c], N)].set(True, mode="drop")
+            folded = _folded_mask(coords, faces, tri_idx) & in_group
+            grads = _area_gradients(coords, faces, tri_idx)
+            return per_vertex_update(coords, grads, folded)
+
+        coords = jax.lax.fori_loop(0, n_colors, do_color, coords)
         nf = jnp.sum(_folded_mask(coords, faces, tri_idx))
         return coords, it + 1, nf
 
@@ -127,13 +153,29 @@ def unfold_kernel(coords, faces, tri_idx, max_iter: int = 1000, n_steps: int = 1
     return coords, nf, it
 
 
+_GROUP_CACHE: dict = {}
+
+
+def _vertex_groups(mesh: Mesh):
+    key = (mesh.nvertices, mesh.faces.shape[0])
+    if key not in _GROUP_CACHE:
+        from ..reg.optimise.coloring import color_groups, vertex_coloring_from_faces
+        colors = vertex_coloring_from_faces(mesh.faces, mesh.nvertices)
+        g, m = color_groups(colors)
+        _GROUP_CACHE[key] = (jnp.asarray(g), jnp.asarray(m))
+    return _GROUP_CACHE[key]
+
+
 def unfold(mesh: Mesh, verbose: bool = False) -> Mesh:
     """Host wrapper: returns a fold-free copy of `mesh`."""
-    _, _, tri_idx, _ = mesh.adjacency
+    nbr_idx, _, tri_idx, _ = mesh.adjacency
+    vg, vm = _vertex_groups(mesh)
     coords, nf, it = unfold_kernel(
         jnp.asarray(mesh.coords, jnp.float32),
         jnp.asarray(mesh.faces),
         jnp.asarray(tri_idx),
+        vg, vm,
+        jnp.asarray(nbr_idx),
     )
     if verbose and int(it) > 0:
         print(f"unfold: {int(it)} sweeps, {int(nf)} residual folds")

@@ -1,0 +1,298 @@
+"""Dense MRF cost volumes for discrete surface registration.
+
+The reference evaluates costs one (node,label) at a time through virtual
+calls + octree queries (DiscreteCostFunction.cpp); here each term is one
+batched kernel producing the full tensor the optimisers consume:
+
+  unary    (K, L)        patch rotate -> nearest-triangle resample -> sim
+  triplet  (T, ...)      folding gate + closed-form strain (+ triclique sim)
+  pairwise (P, L, L)     label-rotation difference + folding gate
+
+All shapes are static per level; patches are padded index lists with masks.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import spherical as sph
+from ..ops import similarity as simi
+from ..ops.nearest import SearchTables, barycentric_coords
+from ..ops.strain import triangular_strain
+
+RAD = 100.0
+FOLDING = 1e7
+FIX_NAN = 1e7
+
+
+class LevelTables(NamedTuple):
+    """Static per-level device state."""
+    target_tables: SearchTables     # data-grid target mesh (fixed per level)
+    target_data: jax.Array          # (D,N)
+    source_data: jax.Array          # (D,N)
+    orig_cp: jax.Array              # (K,3) level-start CP grid (pristine ico)
+    triplets: jax.Array             # (T,3) sorted CP vertex ids
+    pairs: jax.Array                # (Pr,2) CP edges
+    cp_faces: jax.Array             # (T,3) CP faces in native order
+    cp_tri_idx: jax.Array           # (K,MT) incident CP faces, -1 padded
+    maxsep: jax.Array               # (K,) per-CP max spacing (level init)
+    mvd_max: jax.Array              # scalar
+
+
+# --------------------------------------------------------------------------
+# patches
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("pmax",))
+def build_patches(cp_coords, src_coords, maxsep, cprange, pmax: int):
+    """In-range source vertices per control point (within_controlpt_range,
+    DiscreteCostFunction.cpp:102-107): geodesic distance < cprange*maxsep_k.
+    Returns (idx (K,pmax), mask (K,pmax), overflow (K,) bool)."""
+    chord2 = (jnp.sum(cp_coords**2, axis=1)[:, None]
+              - 2.0 * cp_coords @ src_coords.T
+              + jnp.sum(src_coords**2, axis=1)[None, :])
+    chord = jnp.sqrt(jnp.maximum(chord2, 0.0))
+    dist = 2.0 * RAD * jnp.arcsin(jnp.clip(chord / (2.0 * RAD), -1.0, 1.0))
+    limit = (cprange * maxsep)[:, None]
+    neg = -dist
+    _, idx = jax.lax.top_k(neg, pmax)                  # (K,pmax) nearest-first
+    d_sel = jnp.take_along_axis(dist, idx, axis=1)
+    mask = d_sel < limit
+    overflow = (dist < limit).sum(axis=1) > pmax
+    return idx.astype(jnp.int32), mask, overflow
+
+
+def rotated_label_positions(cp_coords, labels, centre):
+    """RL[k,l] = R(centre -> CP_k) @ label_l (DiscreteModel.cpp:310-319,
+    applyLabeling :264-269). Returns (rots (K,3,3), rl (K,L,3))."""
+    rots = sph.rodrigues(jnp.broadcast_to(centre, cp_coords.shape), cp_coords)
+    rl = jnp.einsum("kij,lj->kli", rots, labels)
+    return rots, rl
+
+
+# --------------------------------------------------------------------------
+# unary data term
+# --------------------------------------------------------------------------
+
+def _resample_target(points, tables: SearchTables, target_data):
+    """Barycentric-interpolate target data at `points` (...,3).
+    Returns (..., D)."""
+    shape = points.shape[:-1]
+    flat = points.reshape(-1, 3)
+    tv, w = barycentric_coords(flat, tables)
+    vals = target_data[:, tv]                          # (D,Q,3)
+    out = jnp.sum(vals * w[None], axis=-1)             # (D,Q)
+    return out.T.reshape(shape + (target_data.shape[0],))
+
+
+@functools.partial(jax.jit, static_argnames=("simval", "mode", "lchunk"))
+def unary_costs(cp_coords, rl, src_coords, patch_idx, patch_mask,
+                tables: SearchTables, src_data, target_data, cfweights,
+                abs_weights, simval: int, percentile=0.75,
+                mode: str = "univariate", lchunk: int = 4):
+    """Unary cost volume (K,L).
+
+    mode:
+      'univariate'  — weighted sim of scalar patches
+                      (DiscreteCostFunction.cpp:325-383)
+      'multivariate'— mean over patch of per-vertex feature-vector sim
+                      (:385-458)
+      'patchwise'   — mean over channels of per-channel patch sim (:620-692)
+
+    rl: (K,L,3) rotated label positions. cfweights: (Dw,N) source-space
+    weighting (Dw == 1 or D).
+    """
+    K, L = rl.shape[0], rl.shape[1]
+    P = patch_idx.shape[1]
+    D = src_data.shape[0]
+
+    # per-(k,l) patch rotation: current CP position -> label position
+    # (computeUnaryCost, DiscreteCostFunction.cpp:378-383)
+    rot = sph.rodrigues(jnp.broadcast_to(cp_coords[:, None, :], rl.shape), rl)
+
+    pts = src_coords[patch_idx]                        # (K,P,3)
+    src_patch = src_data[:, patch_idx]                 # (D,K,P)
+    w_patch = cfweights[:, patch_idx]                  # (Dw,K,P)
+    m = patch_mask.astype(src_data.dtype)
+
+    def per_lchunk(rot_c):
+        # rot_c: (K,lc,3,3)
+        rpts = jnp.einsum("klij,kpj->klpi", rot_c, pts)
+        tgt = _resample_target(rpts, tables, target_data)      # (K,lc,P,D)
+        if mode == "univariate":
+            a = jnp.broadcast_to(src_patch[0][:, None, :], tgt.shape[:3])
+            b = tgt[..., 0]
+            w = jnp.broadcast_to(w_patch[0][:, None, :], a.shape)
+            mask = jnp.broadcast_to(m[:, None, :], a.shape)
+            return simi.sim_for_min(a, b, w, mask, simval, percentile)  # (K,lc)
+        if mode == "multivariate":
+            # sim across the feature axis per vertex, mean over patch
+            a = jnp.broadcast_to(src_patch.transpose(1, 2, 0)[:, None], tgt.shape)
+            wd = w_patch.transpose(1, 2, 0)            # (K,P,Dw)
+            if wd.shape[-1] != D:
+                wd = jnp.broadcast_to(wd[..., :1], wd.shape[:-1] + (D,))
+            w = jnp.broadcast_to(wd[:, None], tgt.shape)
+            maskd = jnp.ones_like(a)
+            per_vtx = simi.sim_for_min(a, tgt, w, maskd, simval, percentile)  # (K,lc,P)
+            mm = m[:, None, :]
+            cnt = jnp.maximum(mm.sum(-1), 1.0)
+            return jnp.sum(per_vtx * mm, axis=-1) / cnt
+        if mode == "patchwise":
+            # per-channel sim across patch, mean over channels
+            a = src_patch.transpose(1, 0, 2)[:, None]          # (K,1,D,P)
+            b = tgt.transpose(0, 1, 3, 2)                      # (K,lc,D,P)
+            a = jnp.broadcast_to(a, b.shape)
+            w = jnp.broadcast_to(w_patch[0][:, None, None, :], b.shape)
+            mask = jnp.broadcast_to(m[:, None, None, :], b.shape)
+            per_ch = simi.sim_for_min(a, b, w, mask, simval, percentile)  # (K,lc,D)
+            return per_ch.mean(axis=-1)
+        raise ValueError(mode)
+
+    pad = (-L) % lchunk
+    rot_p = jnp.pad(rot, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    chunks = rot_p.reshape(K, -1, lchunk, 3, 3).transpose(1, 0, 2, 3, 4)
+    out = jax.lax.map(per_lchunk, chunks)              # (nc,K,lc)
+    out = out.transpose(1, 0, 2).reshape(K, -1)[:, :L]
+    return abs_weights[:, None] * out
+
+
+# --------------------------------------------------------------------------
+# triplet regulariser
+# --------------------------------------------------------------------------
+
+def triplet_combo_costs(rl, cp_coords, tables: LevelTables, la, lb, lc,
+                        reglambda, mu, kappa, k_exp, rexp, fixnan=False,
+                        lambda_scale=1.0):
+    """Triplet cost for explicit per-triplet label choices.
+
+    la/lb/lc: (T, C) label indices per triplet corner. Returns (T, C).
+    Reproduces computeTripletCost (DiscreteCostFunction.cpp:135-188) for
+    regmode 2/3 (spherical strain): folding gate vs the CURRENT CP grid,
+    strain vs the level-start grid, cost = lambda * strain^rexp.
+    `lambda_scale` covers the groupwise `subcorr` factor.
+    """
+    t = tables.triplets
+    va = rl[t[:, 0][:, None], la]                      # (T,C,3)
+    vb = rl[t[:, 1][:, None], lb]
+    vc = rl[t[:, 2][:, None], lc]
+
+    cur = cp_coords[t]                                 # (T,3,3)
+    n_cur = sph.tri_normal(cur[:, 0], cur[:, 1], cur[:, 2])    # (T,3)
+    n_def = sph.tri_normal(va, vb, vc)
+    folded = jnp.sum(n_def * n_cur[:, None, :], axis=-1) < 0.0
+
+    orig = tables.orig_cp[t]                           # (T,3,3)
+    orig_b = jnp.broadcast_to(orig[:, None], va.shape[:2] + (3, 3))
+    deformed = jnp.stack([va, vb, vc], axis=-2)
+    strain = triangular_strain(orig_b, deformed, mu, kappa, k_exp)
+    cost = reglambda * lambda_scale * jnp.power(strain, rexp)
+    if fixnan:
+        cost = jnp.where(jnp.isnan(cost), FIX_NAN, cost)
+    return jnp.where(folded, FOLDING * reglambda, cost)
+
+
+@functools.partial(jax.jit, static_argnames=("tchunk",))
+def triplet_cost_volume(rl, cp_coords, tables: LevelTables, reglambda, mu,
+                        kappa, k_exp, rexp, tchunk: int = 256):
+    """Full (T, L, L, L) strain cost volume for MCMC, chunked over T."""
+    L = rl.shape[1]
+    T = tables.triplets.shape[0]
+    la = jnp.repeat(jnp.arange(L), L * L)
+    lb = jnp.tile(jnp.repeat(jnp.arange(L), L), L)
+    lc = jnp.tile(jnp.arange(L), L * L)
+
+    pad = (-T) % tchunk
+    trip_p = jnp.pad(tables.triplets, ((0, pad), (0, 0)))
+    cur_p = jnp.pad(cp_coords[tables.triplets], ((0, pad), (0, 0), (0, 0)))
+    orig_p = jnp.pad(tables.orig_cp[tables.triplets], ((0, pad), (0, 0), (0, 0)))
+
+    def body(args):
+        t, cur, orig = args                            # (tc,3),(tc,3,3),(tc,3,3)
+        va = rl[t[:, 0][:, None], la[None, :]]
+        vb = rl[t[:, 1][:, None], lb[None, :]]
+        vc = rl[t[:, 2][:, None], lc[None, :]]
+        n_cur = sph.tri_normal(cur[:, 0], cur[:, 1], cur[:, 2])
+        n_def = sph.tri_normal(va, vb, vc)
+        folded = jnp.sum(n_def * n_cur[:, None, :], axis=-1) < 0.0
+        orig_b = jnp.broadcast_to(orig[:, None], va.shape[:2] + (3, 3))
+        deformed = jnp.stack([va, vb, vc], axis=-2)
+        strain = triangular_strain(orig_b, deformed, mu, kappa, k_exp)
+        cost = reglambda * jnp.power(strain, rexp)
+        return jnp.where(folded, FOLDING * reglambda, cost)
+
+    n = trip_p.shape[0] // tchunk
+    out = jax.lax.map(body, (trip_p.reshape(n, tchunk, 3),
+                             cur_p.reshape(n, tchunk, 3, 3),
+                             orig_p.reshape(n, tchunk, 3, 3)))
+    return out.reshape(-1, L, L, L)[:T]
+
+
+# --------------------------------------------------------------------------
+# pairwise regulariser (regmode 1 / FastPD path)
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("pchunk",))
+def pairwise_cost_volume(rl, cp_coords, tables: LevelTables, reglambda, rexp,
+                         pchunk: int = 128):
+    """(Pr, L, L) rotation-difference regulariser with folding gate
+    (computePairwiseCost, DiscreteCostFunction.cpp:190-226).
+
+    Folding is checked on the faces incident to the pair's FIRST node with
+    both endpoints moved, against the level-start grid normals — matching the
+    reference's use of _oCPgrid."""
+    L = rl.shape[1]
+    Pr = tables.pairs.shape[0]
+    eps = 1e-8
+
+    rot_node = sph.rodrigues(
+        jnp.broadcast_to(cp_coords[:, None, :], rl.shape), rl)   # (K,L,3,3)
+
+    theta_mvd = 2.0 * jnp.arcsin(tables.mvd_max / (2.0 * RAD))
+    cpf = tables.cp_faces
+    o_n = sph.tri_normal(tables.orig_cp[cpf[:, 0]], tables.orig_cp[cpf[:, 1]],
+                         tables.orig_cp[cpf[:, 2]])    # level-start normals
+
+    pad = (-Pr) % pchunk
+    pairs_p = jnp.pad(tables.pairs, ((0, pad), (0, 0)))
+
+    def body(pr):
+        i, j = pr[:, 0], pr[:, 1]                      # (pc,)
+        r1 = rot_node[i]                               # (pc,L,3,3)
+        r2 = rot_node[j]
+        tr = jnp.einsum("paij,pbij->pab", r1, r2)      # trace(R1^T R2)
+        cos_t = jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)
+        theta = jnp.arccos(cos_t)
+        smooth = reglambda * jnp.power(jnp.sqrt(2.0) * theta / theta_mvd, rexp)
+        active = jnp.abs(1.0 - cos_t) > eps            # rotations differ
+
+        # folding gate: faces incident to node i with endpoints i,j moved,
+        # tested against the level-start normals (only when active)
+        fidx = tables.cp_tri_idx[i]                    # (pc,MT)
+        fv = cpf[jnp.clip(fidx, 0, cpf.shape[0] - 1)]  # (pc,MT,3)
+        base = cp_coords[fv]                           # (pc,MT,3v,3)
+        o_norm = o_n[jnp.clip(fidx, 0, cpf.shape[0] - 1)]
+
+        pi = rl[i]                                     # (pc,L,3)
+        pj = rl[j]
+        is_i = (fv == i[:, None, None])                # (pc,MT,3v)
+        is_j = (fv == j[:, None, None])
+        # coords per (pc,MT,3v,La,Lb,3)
+        out = jnp.broadcast_to(
+            base[:, :, :, None, None, :],
+            base.shape[:3] + (L, L, 3))
+        out = jnp.where(is_i[..., None, None, None],
+                        pi[:, None, None, :, None, :], out)
+        out = jnp.where(is_j[..., None, None, None],
+                        pj[:, None, None, None, :, :], out)
+        n_new = sph.tri_normal(out[:, :, 0], out[:, :, 1], out[:, :, 2])
+        dot = jnp.sum(n_new * o_norm[:, :, None, None, :], axis=-1)
+        valid = (fidx >= 0)[:, :, None, None]
+        fold_any = jnp.any((dot < 0.0) & valid, axis=1)    # (pc,L,L)
+        return jnp.where(active, jnp.where(fold_any, FOLDING, smooth), 0.0)
+
+    n = pairs_p.shape[0] // pchunk
+    out = jax.lax.map(body, pairs_p.reshape(n, pchunk, 2))
+    return out.reshape(-1, L, L)[:Pr]

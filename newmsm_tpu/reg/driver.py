@@ -1,0 +1,337 @@
+"""Pairwise multiresolution registration driver (Mesh_registration,
+mesh_registration.cpp): level loop, warp propagation, discrete outer loop,
+and output writing.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.mesh import Mesh, create_exclusion
+from ..core import io as mio
+from ..ops import resample as rsp
+from ..ops import histogram as hst
+from ..ops.unfold import unfold
+from . import featurespace as fsp
+from .config import RegConfig, parse_config
+from .model import ModelConfig, PairwiseModel
+from .optimise import mcmc as MC
+from .optimise import fusion as FU
+from . import costs as C
+
+RAD = 100.0
+
+
+class MeshRegistration:
+    """Pairwise registration: input sphere + data -> warped sphere aligned to
+    the reference sphere + data."""
+
+    def __init__(self):
+        self.in_mesh: Optional[Mesh] = None
+        self.ref_mesh: Optional[Mesh] = None
+        self.in_data: Optional[np.ndarray] = None
+        self.ref_data: Optional[np.ndarray] = None
+        self.in_cfweight: Optional[np.ndarray] = None
+        self.ref_cfweight: Optional[np.ndarray] = None
+        self.transformed_mesh: Optional[Mesh] = None
+        self.in_anat: Optional[Mesh] = None
+        self.ref_anat: Optional[Mesh] = None
+        self.outdir = "./"
+        self.surf_format = ".surf.gii"
+        self.data_format = ".func.gii"
+        self.verbose = False
+        self.energy_log: list = []
+
+    # ---- inputs ----------------------------------------------------------
+    def set_input(self, mesh: Mesh | str):
+        m = Mesh.load(mesh) if isinstance(mesh, str) else mesh.copy()
+        m.recentre()
+        m.true_rescale(RAD)
+        self.in_mesh = m
+
+    def set_reference(self, mesh: Mesh | str):
+        m = Mesh.load(mesh) if isinstance(mesh, str) else mesh.copy()
+        m.recentre()
+        m.true_rescale(RAD)
+        self.ref_mesh = m
+
+    def set_input_data(self, data: np.ndarray | str):
+        self.in_data = (mio.load_data(data, self.in_mesh)
+                        if isinstance(data, str) else np.atleast_2d(data))
+
+    def set_reference_data(self, data: np.ndarray | str):
+        self.ref_data = (mio.load_data(data, self.ref_mesh)
+                         if isinstance(data, str) else np.atleast_2d(data))
+
+    def set_transformed(self, mesh: Mesh | str):
+        m = Mesh.load(mesh) if isinstance(mesh, str) else mesh.copy()
+        self.transformed_mesh = m
+
+    def set_input_cfweighting(self, w: np.ndarray | str):
+        self.in_cfweight = (mio.load_data(w, self.in_mesh)
+                            if isinstance(w, str) else np.atleast_2d(w))
+
+    def set_reference_cfweighting(self, w: np.ndarray | str):
+        self.ref_cfweight = (mio.load_data(w, self.ref_mesh)
+                             if isinstance(w, str) else np.atleast_2d(w))
+
+    def set_anatomical(self, in_anat: Mesh | str, ref_anat: Mesh | str):
+        self.in_anat = Mesh.load(in_anat) if isinstance(in_anat, str) else in_anat
+        self.ref_anat = Mesh.load(ref_anat) if isinstance(ref_anat, str) else ref_anat
+
+    def set_output_format(self, fmt: str):
+        if fmt == "GIFTI":
+            self.surf_format, self.data_format = ".surf.gii", ".func.gii"
+        elif fmt == "ASCII":
+            self.surf_format, self.data_format = ".asc", ".dpv"
+        elif fmt == "ASCII_MAT":
+            self.surf_format, self.data_format = ".asc", ".txt"
+        else:
+            self.surf_format, self.data_format = ".vtk", ".txt"
+
+    # ---- main entry ------------------------------------------------------
+    def run_multiresolutions(self, config: RegConfig | str | None = None):
+        cfg = config if isinstance(config, RegConfig) else parse_config(config)
+        self.cfg = cfg
+        if self.in_mesh is None or self.in_data is None:
+            raise ValueError("input mesh and data must be set")
+        if self.ref_mesh is None:
+            self.ref_mesh = self.in_mesh.copy()
+        if self.ref_data is None:
+            self.ref_data = self.in_data.copy()
+
+        self.sph_reg: Optional[Mesh] = None
+        for level in range(cfg.levels):
+            self.level = level + 1
+            if self.verbose:
+                print(f"-- level {self.level}/{cfg.levels} "
+                      f"({cfg.cost[level]}, datagrid {cfg.datagrid[level]})")
+            self._initialize_level(level)
+            self._evaluate(level)
+
+        self._write_outputs()
+        return self.sph_reg
+
+    # ---- per-level -------------------------------------------------------
+    def _initialize_level(self, level: int):
+        cfg = self.cfg
+        self.feat = fsp.initialise(
+            [self.in_mesh, self.ref_mesh], [self.in_data, self.ref_data],
+            cfg.datagrid[level], [cfg.sigma_in[level], cfg.sigma_ref[level]],
+            exclude=cfg.exclude, cut=cfg.cut, thresholds=tuple(cfg.cutthreshold),
+            intensity_norm=cfg.intensity_norm, variance_norm=cfg.variance_norm)
+        self.sph_orig = Mesh(coords=self.feat.grid.coords.copy(),
+                             faces=self.feat.grid.faces)
+
+        # downsampled cfweightings (downsample_cfweighting,
+        # mesh_registration.cpp:334-350)
+        self.sphin_cfw = self._downsample_cfw(self.in_cfweight,
+                                              self.feat.get_input_excl())
+        self.sphref_cfw = self._downsample_cfw(self.ref_cfweight,
+                                               self.feat.get_reference_excl())
+
+        if cfg.cost[level] in ("RIGID", "AFFINE"):
+            self.model = None
+            return
+
+        mc = ModelConfig(
+            simval=cfg.simval[level], reglambda=cfg.reglambda[level],
+            iters=cfg.iters[level], sg_res=cfg.sampgrid[level],
+            regmode=cfg.regmode, mu=cfg.shearmod, kappa=cfg.bulkmod,
+            k_exp=cfg.k_exponent, rexp=cfg.regexp, cprange=cfg.cprange,
+            percentile=cfg.percentile, triclique=cfg.triclique,
+            patchwise=cfg.patchwise, rescale_labels=cfg.rescaleL,
+            multivariate=self.feat.dim > 1, mcparam=cfg.mcparam,
+            fixnan=cfg.fixnan)
+        control = Mesh.from_icosphere(cfg.cpgrid[level])
+        control.recentre()
+        control.true_rescale(RAD)
+        target = Mesh(coords=self.sph_orig.coords.copy(), faces=self.sph_orig.faces)
+        self.model = PairwiseModel(mc, control, self.sph_orig, target,
+                                   self.feat.get_input_data(),
+                                   self.feat.get_reference_data())
+
+    def _downsample_cfw(self, cfw, excl):
+        if excl is not None:
+            src = cfw if cfw is not None else excl[None, :]
+            carrier = Mesh(coords=self.in_mesh.coords, faces=self.in_mesh.faces,
+                           data=np.atleast_2d(src))
+            out, _ = rsp.nearest_neighbour_interpolation(carrier, self.sph_orig, excl)
+            return out.data
+        if cfw is not None:
+            carrier = Mesh(coords=self.in_mesh.coords, faces=self.in_mesh.faces,
+                           data=np.atleast_2d(cfw))
+            out, _ = rsp.nearest_neighbour_interpolation(carrier, self.sph_orig)
+            return out.data
+        return np.ones((1, self.sph_orig.nvertices))
+
+    def _evaluate(self, level: int):
+        self.sph_reg = self._project_cpgrid()
+        if self.cfg.cost[level] in ("RIGID", "AFFINE"):
+            from .rigid import rigid_align
+            self.sph_reg = rigid_align(
+                self.sph_reg, self.sph_orig, self.feat, self.cfg,
+                iters=self.cfg.iters[level], simval=self.cfg.simval[level],
+                verbose=self.verbose)
+        else:
+            self._run_discrete_opt(level)
+
+    def _project_cpgrid(self) -> Mesh:
+        """Warp propagation across levels (project_CPgrid,
+        mesh_registration.cpp:131-162)."""
+        sph_in = Mesh(coords=self.sph_orig.coords.copy(), faces=self.sph_orig.faces)
+        if self.level == 1:
+            if self.transformed_mesh is not None:
+                sph_in = rsp.sphere_project_warp(sph_in, self.in_mesh,
+                                                 self.transformed_mesh)
+                if self.model is not None:
+                    self.model.cp_grid = unfold(rsp.sphere_project_warp(
+                        self.model.cp_grid, self.in_mesh, self.transformed_mesh),
+                        self.verbose)
+        elif self.sph_reg is not None:
+            prev = self.sph_reg
+            icotmp = Mesh.from_icosphere(prev.get_resolution())
+            icotmp.true_rescale(RAD)
+            incurrent = rsp.sphere_project_warp(self.in_mesh, icotmp, prev)
+            sph_in = rsp.sphere_project_warp(sph_in, self.in_mesh, incurrent)
+            if self.model is not None:
+                self.model.cp_grid = unfold(rsp.sphere_project_warp(
+                    self.model.cp_grid, self.in_mesh, incurrent), self.verbose)
+        return unfold(sph_in, self.verbose)
+
+    def _combine_weighting(self) -> np.ndarray:
+        """(combine_weighting, mesh_registration.cpp:234-248)."""
+        n = self.sph_reg.nvertices
+        if self.in_cfweight is not None and self.ref_cfweight is not None:
+            carrier = Mesh(coords=self.model.target.coords,
+                           faces=self.model.target.faces, data=self.sphref_cfw)
+            resampled = rsp.metric_resample(carrier, self.sph_reg)[0].data
+            a, b = self.sphin_cfw, resampled
+            rows = min(a.shape[0], b.shape[0])
+            base = a if a.shape[0] >= b.shape[0] else b
+            out = base.copy()
+            out[:rows] = (a[:rows] + b[:rows]) / 2.0
+            return out
+        return np.ones((1, n))
+
+    def _run_discrete_opt(self, level: int):
+        cfg = self.cfg
+        model = self.model
+        energy = 0.0
+        for it in range(cfg.iters[level]):
+            cfw = self._combine_weighting()
+            model.source = self.sph_reg      # reset_meshspace
+            s = model.setup_iteration(cfw)
+
+            dopt = cfg.dopt
+            labeling = jnp.asarray(model.labeling)
+            if dopt == "MCMC":
+                unary = (model.unary(s).T
+                         if not cfg.triclique else
+                         jnp.zeros((s["labels"].shape[0], s["cp"].shape[0]),
+                                   jnp.float32))
+                tcosts = C.triplet_cost_volume(
+                    s["rl"], s["cp"], model.tables, cfg.reglambda[level],
+                    cfg.shearmod, cfg.bulkmod, cfg.k_exponent, cfg.regexp)
+                import jax
+                key = jax.random.PRNGKey(42 + 1000 * self.level + it)
+                labeling = MC.mcmc_optimise(
+                    labeling, unary, tcosts, model.tables.triplets,
+                    jnp.asarray(model.face_groups),
+                    jnp.asarray(model.face_group_mask), key,
+                    mciters=cfg.mciters[level],
+                    num_labels=int(s["labels"].shape[0]),
+                    dist_param=cfg.mcparam)
+                newenergy = float(MC.total_energy(labeling, unary, tcosts,
+                                                  model.tables.triplets))
+            elif dopt in ("HOCR", "FastPD"):
+                unary = model.unary(s).T                    # (L,K)
+                tfn = model.triplet_combo_fn(s)
+                if model.pairwise_mode:
+                    pfn = model.pair_combo_fn(s)
+                    labeling = FU.fusion_optimize(
+                        labeling, unary,
+                        jnp.zeros((0, 3), jnp.int32), model.fusion_tables,
+                        lambda la, lb, lc: jnp.zeros(la.shape, jnp.float32),
+                        int(s["labels"].shape[0]),
+                        pairs=model.tables.pairs, pair_combo_fn=pfn)
+                    newenergy = float(FU.fusion_energy(
+                        labeling, unary, jnp.zeros((0, 3), jnp.int32),
+                        lambda la, lb, lc: jnp.zeros(la.shape, jnp.float32),
+                        pairs=model.tables.pairs, pair_combo_fn=pfn))
+                else:
+                    labeling = FU.fusion_optimize(
+                        labeling, unary, model.tables.triplets,
+                        model.fusion_tables, tfn, int(s["labels"].shape[0]))
+                    newenergy = float(FU.fusion_energy(
+                        labeling, unary, model.tables.triplets, tfn))
+            else:
+                raise ValueError(f"unknown optimiser {dopt}")
+
+            labeling = np.asarray(labeling)
+            self.energy_log.append((self.level, it, newenergy))
+            if self.verbose:
+                changed = (labeling != 0).mean()
+                print(f"  iter {it}: energy {newenergy:.6f} "
+                      f"({changed:.0%} nodes moved)")
+
+            # convergence (mesh_registration.cpp:206-214)
+            if (it > 2 and (it - 1) % 2 == 0
+                    and energy - newenergy < 0.001 and dopt != "MCMC"):
+                break
+
+            prev_cp = model.cp_grid.copy()
+            model.apply_labeling(labeling, s)
+            new_cp = model.cp_grid
+            self.sph_reg = rsp.sphere_project_warp(self.sph_reg, prev_cp, new_cp)
+            new_cp = unfold(new_cp, self.verbose)
+            model.cp_grid = new_cp
+            self.sph_reg = unfold(self.sph_reg, self.verbose)
+            energy = newenergy
+
+    # ---- outputs ---------------------------------------------------------
+    def _write_outputs(self):
+        os.makedirs(self.outdir or ".", exist_ok=True)
+        # transform (mesh_registration.cpp:352-356)
+        warped_in = rsp.sphere_project_warp(self.in_mesh, self.sph_orig,
+                                            self.sph_reg)
+        self.warped_input = warped_in
+        warped_in.save(os.path.join(self.outdir, "sphere.reg" + self.surf_format))
+        self.sph_reg.save(os.path.join(self.outdir,
+                                       "sphere.LR.reg" + self.surf_format))
+        self._save_transformed_data()
+
+    def _save_transformed_data(self):
+        """(save_transformed_data, mesh_registration.cpp:358-408)."""
+        cfg = self.cfg
+        data = self.in_data.copy()
+        refdata = self.ref_data.copy()
+        in_excl = ref_excl = None
+        if cfg.exclude:
+            m_in = Mesh(coords=self.in_mesh.coords, faces=self.in_mesh.faces,
+                        data=data)
+            m_ref = Mesh(coords=self.ref_mesh.coords, faces=self.ref_mesh.faces,
+                         data=refdata)
+            in_excl = create_exclusion(m_in, *cfg.cutthreshold)
+            ref_excl = create_exclusion(m_ref, *cfg.cutthreshold)
+        if cfg.intensity_norm:
+            data = hst.multivariate_histogram_normalization(
+                data, refdata, in_excl, ref_excl)
+
+        carrier = Mesh(coords=self.warped_input.coords,
+                       faces=self.warped_input.faces, data=data)
+        out, _ = rsp.metric_resample(carrier, self.ref_mesh, in_excl)
+        out.save(os.path.join(self.outdir,
+                              "transformed_and_reprojected" + self.data_format))
+        self.transformed_data = out.data
+
+        if self.in_anat is not None and self.ref_anat is not None:
+            anat_trans = rsp.project_anatomical_mesh(
+                self.warped_input, self.ref_mesh, self.ref_anat)
+            anat_trans.save(os.path.join(self.outdir, "anat.reg.surf.gii"))
+            from .strains_output import vertex_strains_mesh
+            strains = vertex_strains_mesh(self.in_anat, anat_trans)
+            strains.save(os.path.join(self.outdir, "STRAINS.func.gii"))

@@ -1,0 +1,204 @@
+"""Discrete MRF model state and per-iteration setup for pairwise
+registration (NonLinearSRegDiscreteModel, DiscreteModel.cpp).
+
+Holds the per-level static tables (LevelTables, fusion tables, sampling
+grid) and produces per-iteration device inputs: labels, rotations, patches,
+cost-function weighting. The optimiser entry points consume these.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.mesh import Mesh
+from ..ops import resample as rsp
+from ..ops.nearest import build_tables
+from . import costs as C
+from .optimise.coloring import color_groups, face_coloring
+from .optimise.fusion import FusionTables, build_fusion_tables
+from .sampling_grid import SamplingGrid, build_sampling_grid, rescale_labels
+
+RAD = 100.0
+
+
+@dataclass
+class ModelConfig:
+    simval: int = 2
+    reglambda: float = 0.0
+    iters: int = 3
+    sg_res: int = 4
+    regmode: int = 3
+    mu: float = 0.4          # --shearmod
+    kappa: float = 1.6       # --bulkmod
+    k_exp: float = 2.0       # --k_exponent
+    rexp: float = 2.0        # --regexp
+    cprange: float = 1.0
+    percentile: float = 0.75
+    triclique: bool = False
+    patchwise: bool = False
+    rescale_labels: bool = False
+    multivariate: bool = False
+    mcparam: float = 0.8
+    fixnan: bool = False
+    pmax: int = 0            # 0 -> auto from grid ratio
+    labeldist: float = 0.5   # _labeldist (DiscreteModel.h:167)
+
+
+class PairwiseModel:
+    """Per-level discrete model; pure-device hot path, host orchestration."""
+
+    def __init__(self, cfg: ModelConfig, cp_grid: Mesh, source: Mesh,
+                 target: Mesh, feat_src: np.ndarray, feat_ref: np.ndarray):
+        self.cfg = cfg
+        self.cp_grid = cp_grid.copy()        # current CP grid (moves)
+        self.orig_cp = cp_grid.copy()        # level-start grid (_oCPgrid/_ORIG)
+        self.source = source.copy()          # warped source datagrid (moves)
+        self.target = target
+        K = cp_grid.nvertices
+
+        # per-CP max spacing, level init (DiscreteModel.cpp:72-89)
+        self.maxsep = cp_grid.max_vertex_distances()
+        self.mvd_max = cp_grid.calculate_MaxVD()
+        self.max_label_dist = cfg.labeldist * self.mvd_max
+
+        self.sampling = build_sampling_grid(cfg.sg_res, self.max_label_dist)
+        self.centre = jnp.asarray(self.sampling.centre, jnp.float32)
+
+        # triplets: sorted CP face ids (DiscreteModel.cpp:293-308)
+        trip = np.sort(cp_grid.faces.astype(np.int32), axis=1)
+        self.triplets_np = trip
+        # pairs: CP edges (DiscreteModel.cpp:271-291)
+        edges = set()
+        for a, b, c in cp_grid.faces:
+            for e in ((a, b), (b, c), (a, c)):
+                edges.add((min(e), max(e)))
+        self.pairs_np = np.array(sorted(edges), dtype=np.int32)
+
+        _, _, cp_tri_idx, _ = cp_grid.adjacency
+
+        self.tables = C.LevelTables(
+            target_tables=build_tables(target.coords, target.faces,
+                                       target.adjacency[2]),
+            target_data=jnp.asarray(feat_ref, jnp.float32),
+            source_data=jnp.asarray(feat_src, jnp.float32),
+            orig_cp=jnp.asarray(cp_grid.coords, jnp.float32),
+            triplets=jnp.asarray(trip),
+            pairs=jnp.asarray(self.pairs_np),
+            cp_faces=jnp.asarray(cp_grid.faces.astype(np.int32)),
+            cp_tri_idx=jnp.asarray(cp_tri_idx),
+            maxsep=jnp.asarray(self.maxsep, jnp.float32),
+            mvd_max=jnp.asarray(self.mvd_max, jnp.float32),
+        )
+
+        self.pairwise_mode = cfg.regmode == 1
+        self.fusion_tables: FusionTables = build_fusion_tables(
+            trip if not self.pairwise_mode else np.zeros((0, 3), np.int32),
+            K, pairs=self.pairs_np if self.pairwise_mode else None)
+        fcolors = face_coloring(trip, K)
+        self.face_groups, self.face_group_mask = color_groups(fcolors)
+
+        if cfg.pmax:
+            self.pmax = cfg.pmax
+        else:
+            density = source.nvertices / K
+            self.pmax = int(min(source.nvertices,
+                                max(32, 8 * density * cfg.cprange**2)))
+        self.iter = 1
+        self.scale = 1.0
+        self.labeling = np.zeros(K, np.int32)
+        self._warned_overflow = False
+
+    # -- per-iteration pieces ------------------------------------------------
+
+    def current_labels(self) -> np.ndarray:
+        """Label set for this iteration (DiscreteModel.cpp:242-248):
+        barycentres on odd iters, vertices on even; or rescaled grid."""
+        cfg = self.cfg
+        if cfg.rescale_labels:
+            if self.scale >= 0.25:
+                labels = rescale_labels(self.sampling, self.sampling.samples,
+                                        self.scale)
+            else:
+                self.scale = 1.0
+                labels = self.sampling.samples
+            self.scale *= 0.8
+            return labels
+        return (self.sampling.samples if self.iter % 2 == 0
+                else self.sampling.barycentres)
+
+    def setup_iteration(self, cfweights: np.ndarray):
+        """Prepare device inputs for one outer iteration
+        (setupCostFunction, DiscreteModel.cpp:216-262)."""
+        cfg = self.cfg
+        labels = self.current_labels()
+        self.labels_np = labels
+        K = self.cp_grid.nvertices
+        self.labeling = np.zeros(K, np.int32)
+
+        cp = jnp.asarray(self.cp_grid.coords, jnp.float32)
+        src = jnp.asarray(self.source.coords, jnp.float32)
+        lbl = jnp.asarray(labels, jnp.float32)
+
+        rots, rl = C.rotated_label_positions(cp, lbl, self.centre)
+        patch_idx, patch_mask, overflow = C.build_patches(
+            cp, src, self.tables.maxsep, cfg.cprange, self.pmax)
+        if not self._warned_overflow and bool(overflow.any()):
+            print("warning: patch capacity overflow; increase pmax")
+            self._warned_overflow = True
+
+        # AbsoluteWeights: max-over-dims of cfweights resampled to CP grid
+        # (resample_weights, DiscreteCostFunction.cpp:303-323)
+        absw_src = cfweights.max(axis=0)
+        carrier = Mesh(coords=self.source.coords, faces=self.source.faces,
+                       data=absw_src[None, :])
+        absw = rsp.metric_resample(carrier, self.cp_grid)[0].data[0]
+
+        self.iter += 1
+        return dict(
+            cp=cp, src=src, labels=lbl, rots=rots, rl=rl,
+            patch_idx=patch_idx, patch_mask=patch_mask,
+            cfweights=jnp.asarray(cfweights, jnp.float32),
+            abs_weights=jnp.asarray(absw, jnp.float32),
+        )
+
+    def unary(self, s) -> jax.Array:
+        cfg = self.cfg
+        mode = ("patchwise" if cfg.patchwise else
+                "multivariate" if cfg.multivariate else "univariate")
+        if cfg.triclique:
+            # triclique mode has no unary data term (DiscreteCostFunction.h:220)
+            return jnp.zeros((s["cp"].shape[0], s["labels"].shape[0]), jnp.float32)
+        return C.unary_costs(
+            s["cp"], s["rl"], s["src"], s["patch_idx"], s["patch_mask"],
+            self.tables.target_tables, self.tables.source_data,
+            self.tables.target_data, s["cfweights"], s["abs_weights"],
+            cfg.simval, cfg.percentile, mode=mode)
+
+    def triplet_combo_fn(self, s):
+        cfg = self.cfg
+        rl, cp = s["rl"], s["cp"]
+
+        def fn(la, lb, lc):
+            return C.triplet_combo_costs(
+                rl, cp, self.tables, la, lb, lc, cfg.reglambda, cfg.mu,
+                cfg.kappa, cfg.k_exp, cfg.rexp, fixnan=cfg.fixnan)
+        return fn
+
+    def pair_combo_fn(self, s):
+        cfg = self.cfg
+        vol = C.pairwise_cost_volume(s["rl"], s["cp"], self.tables,
+                                     cfg.reglambda, cfg.rexp)
+
+        def fn(pa, pb):
+            pr = jnp.arange(self.tables.pairs.shape[0])[:, None]
+            return vol[pr, pa, pb]
+        return fn
+
+    def apply_labeling(self, labeling: np.ndarray, s) -> None:
+        """CP_k <- ROT_k @ label_{l_k} (applyLabeling, DiscreteModel.cpp:264)."""
+        rl = np.asarray(s["rl"])
+        self.cp_grid.coords = rl[np.arange(rl.shape[0]), labeling].astype(np.float64)

@@ -1,0 +1,196 @@
+"""Fusion-moves optimisation (Fusion.h:120-245) with a TPU-native binary
+submodular solve.
+
+Per sweep and per candidate label alpha, the reference builds the binary
+"keep current vs switch to alpha" energy (unary + 8-combination triplet
+tables, optionally 4-combination pair tables), reduces the cubic terms to
+quadratic with ELC/HOCR and solves with FastPD (sequential max-flow —
+research-licensed and TPU-hostile).
+
+Here the binary subproblem is solved by exact parallel coordinate descent
+(ICM) on the *original* higher-order binary energy: conflict-free vertex
+color groups flip simultaneously, each flip evaluated against the true
+local energy delta (no reduction needed). Starting from x == "keep current",
+every accepted move strictly decreases the global energy, so the fusion
+sweep is monotone — an invariant FastPD does not guarantee. Energy parity
+with the reference is validated at the registration level (same or lower
+energies on the same cost volumes).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .coloring import color_groups, vertex_coloring_from_faces
+
+
+class FusionTables(NamedTuple):
+    """Static host-built index tables for the fusion solver."""
+    vgroups: jax.Array        # (C,G) vertex ids per color, -1 padded
+    vgroup_mask: jax.Array    # (C,G)
+    vert_tri: jax.Array       # (K,MT) incident triplet ids, -1 padded
+    vert_tri_corner: jax.Array  # (K,MT) own corner position within triplet
+    vert_pair: Optional[jax.Array] = None       # (K,MP) incident pair ids
+    vert_pair_end: Optional[jax.Array] = None   # (K,MP) own end (0/1)
+
+
+def build_fusion_tables(triplets: np.ndarray, nverts: int,
+                        pairs: np.ndarray | None = None) -> FusionTables:
+    vt: list[list[tuple[int, int]]] = [[] for _ in range(nverts)]
+    for t, tri in enumerate(triplets):
+        for corner, v in enumerate(tri):
+            vt[int(v)].append((t, corner))
+    mt = max(1, max(len(x) for x in vt))
+    vert_tri = np.full((nverts, mt), -1, np.int32)
+    vert_corner = np.zeros((nverts, mt), np.int32)
+    for v, lst in enumerate(vt):
+        for i, (t, c) in enumerate(lst):
+            vert_tri[v, i] = t
+            vert_corner[v, i] = c
+
+    colors = vertex_coloring_from_faces(triplets, nverts)
+    if pairs is not None and len(pairs):
+        # ensure pair endpoints are in different groups too
+        adj = [set() for _ in range(nverts)]
+        for a, b in pairs:
+            adj[int(a)].add(int(b))
+            adj[int(b)].add(int(a))
+        for a, b, c in triplets:
+            adj[int(a)].update((int(b), int(c)))
+            adj[int(b)].update((int(a), int(c)))
+            adj[int(c)].update((int(a), int(b)))
+        from .coloring import greedy_color
+        colors = greedy_color(adj)
+    groups, mask = color_groups(colors)
+
+    vp = vpe = None
+    if pairs is not None and len(pairs):
+        vpl: list[list[tuple[int, int]]] = [[] for _ in range(nverts)]
+        for p, (a, b) in enumerate(pairs):
+            vpl[int(a)].append((p, 0))
+            vpl[int(b)].append((p, 1))
+        mp = max(1, max(len(x) for x in vpl))
+        vp = np.full((nverts, mp), -1, np.int32)
+        vpe = np.zeros((nverts, mp), np.int32)
+        for v, lst in enumerate(vpl):
+            for i, (p, e) in enumerate(lst):
+                vp[v, i] = p
+                vpe[v, i] = e
+
+    return FusionTables(
+        vgroups=jnp.asarray(groups), vgroup_mask=jnp.asarray(mask),
+        vert_tri=jnp.asarray(vert_tri), vert_tri_corner=jnp.asarray(vert_corner),
+        vert_pair=None if vp is None else jnp.asarray(vp),
+        vert_pair_end=None if vpe is None else jnp.asarray(vpe),
+    )
+
+
+_BITS = jnp.array([[0, 0, 0], [0, 0, 1], [0, 1, 0], [0, 1, 1],
+                   [1, 0, 0], [1, 0, 1], [1, 1, 0], [1, 1, 1]], jnp.int32)
+
+
+def fusion_optimize(labeling, unary, triplets, tables: FusionTables,
+                    triplet_combo_fn: Callable, num_labels: int,
+                    pairs=None, pair_combo_fn: Optional[Callable] = None,
+                    sweeps: int = 2, icm_passes: int = 8):
+    """Fusion sweep: for each sweep x candidate label alpha, solve the binary
+    move problem and accept improving flips. Returns the new labeling.
+
+    unary: (L,K). triplet_combo_fn(la,lb,lc)->(T,C) for label-index arrays
+    (T,C); pair_combo_fn(pa,pb)->(Pr,C).
+    """
+    K = labeling.shape[0]
+    n_colors = tables.vgroups.shape[0]
+    have_pairs = pairs is not None and pair_combo_fn is not None
+    have_triplets = triplets.shape[0] > 0
+
+    def alpha_step(labeling, alpha):
+        u0 = unary[labeling, jnp.arange(K)]
+        u1 = unary[alpha, jnp.arange(K)]
+
+        if have_triplets:
+            cur = labeling[triplets]                    # (T,3)
+            la = jnp.where(_BITS[None, :, 0] == 1, alpha, cur[:, 0:1])
+            lb = jnp.where(_BITS[None, :, 1] == 1, alpha, cur[:, 1:2])
+            lc = jnp.where(_BITS[None, :, 2] == 1, alpha, cur[:, 2:3])
+            t8 = triplet_combo_fn(la, lb, lc)           # (T,8)
+
+        if have_pairs:
+            curp = labeling[pairs]                      # (Pr,2)
+            pa = jnp.stack([curp[:, 0], curp[:, 0],
+                            jnp.full_like(curp[:, 0], 0) + alpha,
+                            jnp.full_like(curp[:, 0], 0) + alpha], axis=1)
+            pb = jnp.stack([curp[:, 1], jnp.full_like(curp[:, 1], 0) + alpha,
+                            curp[:, 1], jnp.full_like(curp[:, 1], 0) + alpha],
+                           axis=1)
+            p4 = pair_combo_fn(pa, pb)                  # (Pr,4)
+
+        def icm_pass(_, x):
+            def do_color(c, x):
+                nodes = tables.vgroups[c]
+                gmask = tables.vgroup_mask[c]
+                n_safe = jnp.where(gmask, nodes, 0)
+
+                delta = u1[n_safe] - u0[n_safe]
+
+                if have_triplets:
+                    it = tables.vert_tri[n_safe]        # (G,MT)
+                    pc = tables.vert_tri_corner[n_safe]
+                    tmask = (it >= 0) & gmask[:, None]
+                    it_s = jnp.where(it >= 0, it, 0)
+                    xb = x[triplets[it_s]]              # (G,MT,3)
+                    base = xb[..., 0] * 4 + xb[..., 1] * 2 + xb[..., 2]
+                    w = jnp.where(pc == 0, 4, jnp.where(pc == 1, 2, 1))
+                    own = jnp.take_along_axis(xb, pc[..., None], axis=2)[..., 0]
+                    idx0 = base - own * w
+                    idx1 = idx0 + w
+                    d_t = (t8[it_s, idx1] - t8[it_s, idx0]) * tmask
+                    delta = delta + d_t.sum(axis=1)
+
+                if have_pairs:
+                    ip = tables.vert_pair[n_safe]
+                    pe = tables.vert_pair_end[n_safe]
+                    pmask = (ip >= 0) & gmask[:, None]
+                    ip_s = jnp.where(ip >= 0, ip, 0)
+                    xp = x[pairs[ip_s]]                 # (G,MP,2)
+                    baseP = xp[..., 0] * 2 + xp[..., 1]
+                    wp = jnp.where(pe == 0, 2, 1)
+                    ownp = jnp.take_along_axis(xp, pe[..., None], axis=2)[..., 0]
+                    i0 = baseP - ownp * wp
+                    i1 = i0 + wp
+                    d_p = (p4[ip_s, i1] - p4[ip_s, i0]) * pmask
+                    delta = delta + d_p.sum(axis=1)
+
+                newx = (delta < 0).astype(x.dtype)
+                return x.at[jnp.where(gmask, n_safe, K)].set(
+                    jnp.where(gmask, newx, 0), mode="drop")
+
+            return jax.lax.fori_loop(0, n_colors, do_color, x)
+
+        x = jnp.zeros((K,), jnp.int32)
+        x = jax.lax.fori_loop(0, icm_passes, icm_pass, x)
+        return jnp.where(x == 1, alpha, labeling)
+
+    def body(i, labeling):
+        return alpha_step(labeling, i % num_labels)
+
+    return jax.lax.fori_loop(0, sweeps * num_labels, body, labeling)
+
+
+def fusion_energy(labeling, unary, triplets, triplet_combo_fn,
+                  pairs=None, pair_combo_fn=None):
+    """Total energy at a labeling, for driver convergence checks."""
+    K = labeling.shape[0]
+    total = jnp.sum(unary[labeling, jnp.arange(K)])
+    if triplets.shape[0] > 0:
+        cur = labeling[triplets]
+        total = total + jnp.sum(
+            triplet_combo_fn(cur[:, 0:1], cur[:, 1:2], cur[:, 2:3])[:, 0])
+    if pairs is not None and pair_combo_fn is not None:
+        curp = labeling[pairs]
+        total = total + jnp.sum(pair_combo_fn(curp[:, 0:1], curp[:, 1:2])[:, 0])
+    return total

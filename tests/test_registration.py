@@ -1,0 +1,155 @@
+import numpy as np
+import pytest
+
+from newmsm_tpu.reg.config import RegConfig, parse_config
+from newmsm_tpu.reg.driver import MeshRegistration
+from newmsm_tpu.reg.sampling_grid import build_sampling_grid
+
+from fixtures import make_pair, alignment_correlation, smooth_pattern
+
+
+def small_config(dopt="HOCR", iters=3, simval=2, lam=0.1, regmode=3):
+    cfg = RegConfig()
+    cfg.cost = ["DISCRETE"]
+    cfg.simval = [simval]
+    cfg.iters = [iters]
+    cfg.sigma_in = [0.0]
+    cfg.sigma_ref = [0.0]
+    cfg.reglambda = [lam]
+    cfg.datagrid = [3]
+    cfg.cpgrid = [2]
+    cfg.sampgrid = [4]
+    cfg.anatgrid = [4]
+    cfg.mciters = [60]
+    cfg.dopt = dopt
+    cfg.regmode = regmode
+    return cfg
+
+
+class TestSamplingGrid:
+    def test_counts_and_radius(self):
+        sg = build_sampling_grid(4, 16.0)
+        assert 7 <= len(sg.samples) <= 40
+        assert 7 <= len(sg.barycentres) <= 40
+        # first label is the centre itself
+        np.testing.assert_allclose(sg.samples[0], sg.centre)
+        d = np.linalg.norm(sg.samples - sg.centre, axis=1)
+        assert d.max() <= 16.0 + 1e-9
+        np.testing.assert_allclose(np.linalg.norm(sg.samples, axis=1), 100.0,
+                                   rtol=1e-6)
+
+
+class TestConfigParser:
+    def test_reference_configs_parse(self):
+        import glob
+        for path in glob.glob("/root/reference/config/*/*"):
+            cfg = parse_config(path)
+            assert cfg.levels >= 1
+            assert len(cfg.reglambda) == cfg.levels
+            assert len(cfg.iters) == cfg.levels
+
+    def test_default_config(self):
+        cfg = parse_config(None)
+        assert cfg.cost[0] == "RIGID"
+        assert cfg.levels == 4
+
+    def test_fastpd_forces_regmode1(self, tmp_path):
+        p = tmp_path / "conf"
+        p.write_text("--opt=DISCRETE,DISCRETE\n--lambda=0.1,0.2\n"
+                     "--dopt=FastPD\n--regoption=3\n")
+        cfg = parse_config(str(p))
+        assert cfg.regmode == 1
+
+
+@pytest.fixture(scope="module")
+def registered_hocr():
+    inp, ind, ref, refd = make_pair(res=3, rot_degrees=12.0)
+    mr = MeshRegistration()
+    mr.set_input(inp)
+    mr.set_input_data(ind)
+    mr.set_reference(ref)
+    mr.set_reference_data(refd)
+    mr.verbose = True
+    import tempfile
+    mr.outdir = tempfile.mkdtemp()
+    mr.run_multiresolutions(small_config("HOCR", iters=4))
+    return mr, ind, refd
+
+
+class TestPairwiseHOCR:
+    def test_improves_alignment(self, registered_hocr):
+        mr, ind, refd = registered_hocr
+        before = alignment_correlation(ind, refd)
+        after = alignment_correlation(mr.transformed_data, refd)
+        assert after > before + 0.05, (before, after)
+
+    def test_energy_decreases(self, registered_hocr):
+        mr, _, _ = registered_hocr
+        energies = [e for (_, _, e) in mr.energy_log]
+        assert energies[-1] <= energies[0]
+
+    def test_outputs_written(self, registered_hocr):
+        import os
+        mr, _, _ = registered_hocr
+        for f in ("sphere.reg.surf.gii", "sphere.LR.reg.surf.gii",
+                  "transformed_and_reprojected.func.gii"):
+            assert os.path.exists(os.path.join(mr.outdir, f)), f
+
+    def test_no_folds(self, registered_hocr):
+        from newmsm_tpu.ops.unfold import count_folds
+        mr, _, _ = registered_hocr
+        assert count_folds(mr.sph_reg) == 0
+
+
+class TestPairwiseMCMC:
+    def test_mcmc_runs_and_improves(self):
+        inp, ind, ref, refd = make_pair(res=3, rot_degrees=10.0, seed=3)
+        mr = MeshRegistration()
+        mr.set_input(inp)
+        mr.set_input_data(ind)
+        mr.set_reference(ref)
+        mr.set_reference_data(refd)
+        import tempfile
+        mr.outdir = tempfile.mkdtemp()
+        mr.run_multiresolutions(small_config("MCMC", iters=2))
+        before = alignment_correlation(ind, refd)
+        after = alignment_correlation(mr.transformed_data, refd)
+        assert after > before, (before, after)
+
+
+class TestPairwiseFastPD:
+    def test_pairwise_mode_runs(self):
+        inp, ind, ref, refd = make_pair(res=3, rot_degrees=8.0, seed=5)
+        mr = MeshRegistration()
+        mr.set_input(inp)
+        mr.set_input_data(ind)
+        mr.set_reference(ref)
+        mr.set_reference_data(refd)
+        import tempfile
+        mr.outdir = tempfile.mkdtemp()
+        mr.run_multiresolutions(small_config("FastPD", iters=2, regmode=1))
+        after = alignment_correlation(mr.transformed_data, refd)
+        before = alignment_correlation(ind, refd)
+        assert after > before - 0.02  # at minimum must not damage alignment
+
+
+class TestRigid:
+    def test_rigid_recovers_rotation(self):
+        # input features rotated by a small angle; RIGID level should rotate
+        # the sphere to compensate
+        inp, ind, ref, refd = make_pair(res=3, rot_degrees=6.0, seed=7)
+        cfg = small_config()
+        cfg.cost = ["RIGID"]
+        cfg.iters = [30]
+        cfg.simval = [2]
+        mr = MeshRegistration()
+        mr.set_input(inp)
+        mr.set_input_data(ind)
+        mr.set_reference(ref)
+        mr.set_reference_data(refd)
+        import tempfile
+        mr.outdir = tempfile.mkdtemp()
+        mr.run_multiresolutions(cfg)
+        after = alignment_correlation(mr.transformed_data, refd)
+        before = alignment_correlation(ind, refd)
+        assert after > before, (before, after)

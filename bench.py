@@ -1,0 +1,128 @@
+"""Benchmark: unary cost-volume throughput (the registration hot path).
+
+Measures vertex-labels/sec of the fused patch-rotate -> nearest-triangle
+resample -> weighted-similarity kernel on realistic HCP sizes (data grid
+ico-5 = 10242 vertices, control grid ico-3 = 642 nodes, ~19 labels, 128-point
+patches). One (vertex,label) evaluation includes a full 128-point patch
+resample against the 10242-vertex target, matching the reference's
+computeUnaryCost work unit (DiscreteCostFunction.cpp:378-383).
+
+vs_baseline compares against the same kernel executed on the host CPU
+backend (single process, all cores) — the reference implementation's
+hardware class.
+
+Prints ONE JSON line.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def build_inputs():
+    import jax.numpy as jnp
+    from newmsm_tpu.core.mesh import Mesh
+    from newmsm_tpu.ops.nearest import build_tables
+    from newmsm_tpu.reg import costs as C
+    from newmsm_tpu.reg.sampling_grid import build_sampling_grid
+
+    target = Mesh.from_icosphere(5)
+    cp = Mesh.from_icosphere(3)
+    K, N = cp.nvertices, target.nvertices
+
+    sg = build_sampling_grid(5, 0.5 * cp.calculate_MaxVD())
+    labels = np.asarray(sg.barycentres, np.float32)
+
+    tables_np = dict(coords=target.coords, faces=target.faces,
+                     tri=target.adjacency[2])
+    rng = np.random.default_rng(0)
+    return dict(
+        cp_coords=cp.coords.astype(np.float32),
+        src_coords=target.coords.astype(np.float32),
+        labels=labels,
+        centre=np.asarray(sg.centre, np.float32),
+        maxsep=cp.max_vertex_distances().astype(np.float32),
+        src_data=rng.normal(size=(1, N)).astype(np.float32),
+        tgt_data=rng.normal(size=(1, N)).astype(np.float32),
+        tables=tables_np,
+        K=K, L=len(labels), pmax=128,
+    )
+
+
+def make_fn(inp, device):
+    import jax
+    import jax.numpy as jnp
+    from newmsm_tpu.ops.nearest import build_tables
+    from newmsm_tpu.reg import costs as C
+
+    with jax.default_device(device):
+        tables = build_tables(inp["tables"]["coords"], inp["tables"]["faces"],
+                              inp["tables"]["tri"])
+        cp_coords = jnp.asarray(inp["cp_coords"])
+        src_coords = jnp.asarray(inp["src_coords"])
+        labels = jnp.asarray(inp["labels"])
+        centre = jnp.asarray(inp["centre"])
+        maxsep = jnp.asarray(inp["maxsep"])
+        src_data = jnp.asarray(inp["src_data"])
+        tgt_data = jnp.asarray(inp["tgt_data"])
+        cfw = jnp.ones_like(inp["src_data"])
+        absw = jnp.ones((inp["K"],), jnp.float32)
+        pmax = inp["pmax"]
+
+        @jax.jit
+        def fn(cp_coords, src_coords):
+            rots, rl = C.rotated_label_positions(cp_coords, labels, centre)
+            patch_idx, patch_mask, _ = C.build_patches(
+                cp_coords, src_coords, maxsep, 1.0, pmax)
+            return C.unary_costs(cp_coords, rl, src_coords, patch_idx,
+                                 patch_mask, tables, src_data, tgt_data,
+                                 cfw, absw, simval=2, mode="univariate",
+                                 lchunk=4)
+
+        return fn, (cp_coords, src_coords)
+
+
+def time_fn(fn, args, iters=5):
+    out = fn(*args)
+    out.block_until_ready()          # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    out.block_until_ready()
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+
+    inp = build_inputs()
+    work = inp["K"] * inp["L"]       # vertex-labels per call
+
+    dev = jax.devices()[0]
+    fn, args = make_fn(inp, dev)
+    t_dev = time_fn(fn, args)
+    rate = work / t_dev
+
+    vs_baseline = 0.0
+    try:
+        cpus = jax.devices("cpu")
+        if cpus and cpus[0].platform != dev.platform:
+            fn_c, args_c = make_fn(inp, cpus[0])
+            t_cpu = time_fn(fn_c, args_c, iters=2)
+            vs_baseline = rate / (work / t_cpu)
+    except Exception:
+        pass
+
+    print(json.dumps({
+        "metric": "unary-cost-eval vertex-labels/sec/chip "
+                  "(K=642,L=19,patch=128,target=10242)",
+        "value": round(rate, 1),
+        "unit": "vertex-labels/s",
+        "vs_baseline": round(vs_baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

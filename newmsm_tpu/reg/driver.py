@@ -293,15 +293,22 @@ class MeshRegistration:
             energy = newenergy
 
     # ---- outputs ---------------------------------------------------------
+    def _out(self, name: str) -> str:
+        """Output path: `outdir` is a basename PREFIX like the reference's
+        -o (newmsm writes <outbase>sphere.reg...); a trailing separator makes
+        it a directory."""
+        d = os.path.dirname(self.outdir)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        return self.outdir + name
+
     def _write_outputs(self):
-        os.makedirs(self.outdir or ".", exist_ok=True)
         # transform (mesh_registration.cpp:352-356)
         warped_in = rsp.sphere_project_warp(self.in_mesh, self.sph_orig,
                                             self.sph_reg)
         self.warped_input = warped_in
-        warped_in.save(os.path.join(self.outdir, "sphere.reg" + self.surf_format))
-        self.sph_reg.save(os.path.join(self.outdir,
-                                       "sphere.LR.reg" + self.surf_format))
+        warped_in.save(self._out("sphere.reg" + self.surf_format))
+        self.sph_reg.save(self._out("sphere.LR.reg" + self.surf_format))
         self._save_transformed_data()
 
     def _save_transformed_data(self):
@@ -324,14 +331,13 @@ class MeshRegistration:
         carrier = Mesh(coords=self.warped_input.coords,
                        faces=self.warped_input.faces, data=data)
         out, _ = rsp.metric_resample(carrier, self.ref_mesh, in_excl)
-        out.save(os.path.join(self.outdir,
-                              "transformed_and_reprojected" + self.data_format))
+        out.save(self._out("transformed_and_reprojected" + self.data_format))
         self.transformed_data = out.data
 
         if self.in_anat is not None and self.ref_anat is not None:
             anat_trans = rsp.project_anatomical_mesh(
                 self.warped_input, self.ref_mesh, self.ref_anat)
-            anat_trans.save(os.path.join(self.outdir, "anat.reg.surf.gii"))
+            anat_trans.save(self._out("anat.reg.surf.gii"))
             from .strains_output import vertex_strains_mesh
             strains = vertex_strains_mesh(self.in_anat, anat_trans)
-            strains.save(os.path.join(self.outdir, "STRAINS.func.gii"))
+            strains.save(self._out("STRAINS.func.gii"))

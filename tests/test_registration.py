@@ -71,7 +71,7 @@ def registered_hocr():
     mr.set_reference_data(refd)
     mr.verbose = True
     import tempfile
-    mr.outdir = tempfile.mkdtemp()
+    mr.outdir = tempfile.mkdtemp() + "/"
     mr.run_multiresolutions(small_config("HOCR", iters=4))
     return mr, ind, refd
 
@@ -110,7 +110,7 @@ class TestPairwiseMCMC:
         mr.set_reference(ref)
         mr.set_reference_data(refd)
         import tempfile
-        mr.outdir = tempfile.mkdtemp()
+        mr.outdir = tempfile.mkdtemp() + "/"
         mr.run_multiresolutions(small_config("MCMC", iters=2))
         before = alignment_correlation(ind, refd)
         after = alignment_correlation(mr.transformed_data, refd)
@@ -126,7 +126,7 @@ class TestPairwiseFastPD:
         mr.set_reference(ref)
         mr.set_reference_data(refd)
         import tempfile
-        mr.outdir = tempfile.mkdtemp()
+        mr.outdir = tempfile.mkdtemp() + "/"
         mr.run_multiresolutions(small_config("FastPD", iters=2, regmode=1))
         after = alignment_correlation(mr.transformed_data, refd)
         before = alignment_correlation(ind, refd)
@@ -148,7 +148,7 @@ class TestRigid:
         mr.set_reference(ref)
         mr.set_reference_data(refd)
         import tempfile
-        mr.outdir = tempfile.mkdtemp()
+        mr.outdir = tempfile.mkdtemp() + "/"
         mr.run_multiresolutions(cfg)
         after = alignment_correlation(mr.transformed_data, refd)
         before = alignment_correlation(ind, refd)

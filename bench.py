@@ -16,9 +16,15 @@ Prints ONE JSON line.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+# persistent compile cache: remote TPU compiles take minutes per program,
+# the cache makes repeat runs instant
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
 def build_inputs():
@@ -85,12 +91,18 @@ def make_fn(inp, device):
 
 
 def time_fn(fn, args, iters=5):
-    out = fn(*args)
-    out.block_until_ready()          # compile + warmup
+    # sync via a scalar reduction + host read: block_until_ready is
+    # unreliable on the experimental axon platform, and bulk host transfers
+    # ride a network tunnel so only 4 bytes may cross per call
+    import jax.numpy as jnp
+
+    def synced(*a):
+        return float(jnp.sum(fn(*a)))
+
+    synced(*args)                    # compile + warmup
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    out.block_until_ready()
+        synced(*args)
     return (time.perf_counter() - t0) / iters
 
 

@@ -3,19 +3,22 @@
 TPU-native replacement for the reference Octree (octree.cpp:156-214): instead
 of a pointer tree walked per query, queries are answered in bulk:
 
-  1. k nearest target vertices per query via a dense distance matmul on the
-     MXU (chunked over queries; exact, no tree),
-  2. candidate triangles = the incident faces of those k vertices (padded
-     topology table, gathered),
+  1. the exact nearest target vertex per query via a fused distance-matmul +
+     argmax per chunk (the (chunk,N) score tile never leaves VMEM; no top_k),
+  2. candidate triangles = all faces within the 2-ring of that vertex, read
+     as ONE contiguous row gather from a per-call (N, C, 3, 3) candidate
+     coordinate table (row gathers sustain ~40 GB/s on TPU vs ~3 GB/s for
+     element gathers — the table costs 8.8 MB at ico-5 and is rebuilt from
+     the deformed coordinates each call),
   3. the reference's containment test per candidate — project the query onto
      the triangle plane, point-in-triangle, boundary distance — picking the
      best contained candidate (octree.cpp tier 1/2),
   4. vertex-distance fallback over the same candidates when no candidate
      contains the projection (octree.cpp:194-208 tier 3).
 
-The containing triangle shares a vertex with one of the k nearest vertices
-for any mesh that passes the unfold correctness gate, so this matches the
-octree result while being one fused gather/compute pipeline.
+The containing triangle lies in the 2-ring of the nearest vertex for any
+mesh that passes the unfold correctness gate, so this matches the octree
+result while being a dense, gather-light pipeline.
 """
 from __future__ import annotations
 
@@ -31,57 +34,89 @@ from ..core import spherical as sph
 
 class SearchTables(NamedTuple):
     """Device-resident target-mesh tables for nearest search."""
-    coords: jax.Array     # (N,3) f32
-    faces: jax.Array      # (T,3) i32
-    vtx_tri: jax.Array    # (N,MT) i32, padded by repeating the first entry
+    coords: jax.Array      # (N,3) f32
+    faces: jax.Array       # (T,3) i32
+    ring_faces: jax.Array  # (N,C) i32 — faces within the 2-ring of vertex,
+    #                        padded with the first entry
+    ring_verts: jax.Array  # (N,C,3) i32 — faces[ring_faces], precomputed
+
+
+@functools.lru_cache(maxsize=None)
+def _icosphere_ring_faces(resolution: int) -> np.ndarray:
+    from ..core.icosphere import icosphere
+    ico = icosphere(resolution)
+    return _build_ring_faces(ico.nbr_idx, ico.tri_idx)
+
+
+def _build_ring_faces(nbr_idx: np.ndarray, tri_idx: np.ndarray) -> np.ndarray:
+    """Faces incident to a vertex or to any of its neighbours ("2-ring"
+    faces)."""
+    n = nbr_idx.shape[0]
+    rows = []
+    for v in range(n):
+        fs: list[int] = [int(t) for t in tri_idx[v] if t >= 0]
+        seen = set(fs)
+        for a in nbr_idx[v]:
+            if a < 0:
+                continue
+            for t in tri_idx[a]:
+                if t >= 0 and int(t) not in seen:
+                    seen.add(int(t))
+                    fs.append(int(t))
+        rows.append(fs)
+    cmax = max(len(r) for r in rows)
+    out = np.empty((n, cmax), np.int32)
+    for v, r in enumerate(rows):
+        out[v, : len(r)] = r
+        out[v, len(r):] = r[0]
+    return out
 
 
 def build_tables(coords, faces, tri_idx=None, dtype=jnp.float32) -> SearchTables:
-    """Host-side table prep. `tri_idx` is the (N,MT) -1-padded incident-face
-    table (Mesh.adjacency); padding is replaced by each row's first entry so
-    gathers stay in-bounds and duplicates are harmless."""
+    """Host-side table prep (topology only; coordinates may be deformed)."""
+    from ..core.icosphere import _NVERT_TO_RES, build_adjacency, icosphere
     coords = np.asarray(coords)
     faces = np.asarray(faces, dtype=np.int32)
-    if tri_idx is None:
-        from ..core.icosphere import build_adjacency
-        _, _, tri_idx, _ = build_adjacency(faces, coords.shape[0])
-    tri_idx = np.asarray(tri_idx, dtype=np.int32)
-    first = tri_idx[:, :1]
-    vtx_tri = np.where(tri_idx >= 0, tri_idx, first)
+
+    res = _NVERT_TO_RES.get(coords.shape[0])
+    if res is not None and np.array_equal(icosphere(res).faces, faces):
+        ring = _icosphere_ring_faces(res)
+    else:
+        nbr_idx, _, ti, _ = build_adjacency(faces, coords.shape[0])
+        ring = _build_ring_faces(nbr_idx, ti)
+
     return SearchTables(
         coords=jnp.asarray(coords, dtype=dtype),
         faces=jnp.asarray(faces),
-        vtx_tri=jnp.asarray(vtx_tri),
+        ring_faces=jnp.asarray(ring),
+        ring_verts=jnp.asarray(faces[ring]),       # (N,C,3)
     )
 
 
-def _nearest_k_vertices(q, coords, k):
-    """Exact k-nearest target vertices by euclidean distance, via the
-    |q-v|^2 = |v|^2 - 2 q.v matmul trick. q: (Q,3), coords: (N,3)."""
-    sq = jnp.sum(coords * coords, axis=1)                      # (N,)
-    scores = 2.0 * (q @ coords.T) - sq[None, :]                # (Q,N) = -dist^2 + |q|^2
-    _, idx = jax.lax.top_k(scores, k)
-    return idx                                                 # (Q,k)
+def _candidate_coord_table(tables: SearchTables):
+    """(N,C,3,3) candidate-triangle vertex coords, rebuilt per call from the
+    (possibly deformed) coordinates."""
+    return tables.coords[tables.ring_verts]        # (N,C,3,3)
 
 
-def _candidate_select(q, cand_tri, coords, faces, rad):
-    """Given candidate triangle ids (Q,C), reproduce the octree choice."""
-    tri_v = faces[cand_tri]                                    # (Q,C,3)
-    v0 = coords[tri_v[..., 0]]                                 # (Q,C,3)
-    v1 = coords[tri_v[..., 1]]
-    v2 = coords[tri_v[..., 2]]
-    qx = q[:, None, :]
+def _select(qc, cand_tri, tv, vc, rad):
+    """Reference octree choice among candidates.
+
+    qc (c,3); cand_tri (c,C); tv (c,C,3) vertex ids; vc (c,C,3,3) coords.
+    Returns (tri (c,), tv_sel (c,3), vc_sel (c,3,3)).
+    """
+    v0, v1, v2 = vc[..., 0, :], vc[..., 1, :], vc[..., 2, :]
+    qx = qc[:, None, :]
 
     pp = sph.project_to_plane(qx, v0, v1, v2)
     contained = sph.point_in_triangle_relative(pp, v0, v1, v2)
     d_in = sph.dist_to_triangle_boundary(pp, v0, v1, v2)
-    big = jnp.asarray(jnp.finfo(q.dtype).max, q.dtype)
+    big = jnp.asarray(jnp.finfo(qc.dtype).max, qc.dtype)
     d_in = jnp.where(contained, d_in, big)
-    best_in = jnp.argmin(d_in, axis=1)                         # (Q,)
+    best_in = jnp.argmin(d_in, axis=1)
     found = contained.any(axis=1)
 
     # tier-3 fallback: geodesic distance to candidate triangle vertices
-    # (octree.cpp:194-208)
     def vdist(v):
         chord = jnp.linalg.norm(qx - v, axis=-1)
         return 2.0 * rad * jnp.arcsin(jnp.clip(chord / (2.0 * rad), -1.0, 1.0))
@@ -89,58 +124,73 @@ def _candidate_select(q, cand_tri, coords, faces, rad):
     d_fb = jnp.minimum(vdist(v0), jnp.minimum(vdist(v1), vdist(v2)))
     best_fb = jnp.argmin(d_fb, axis=1)
 
-    sel = jnp.where(found, best_in, best_fb)
-    return jnp.take_along_axis(cand_tri, sel[:, None], axis=1)[:, 0]
+    sel = jnp.where(found, best_in, best_fb)[:, None]
+    tri = jnp.take_along_axis(cand_tri, sel, axis=1)[:, 0]
+    tv_sel = jnp.take_along_axis(tv, sel[..., None], axis=1)[:, 0]
+    vc_sel = jnp.take_along_axis(vc, sel[..., None, None], axis=1)[:, 0]
+    return tri, tv_sel, vc_sel
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk", "rad"))
-def nearest_triangle(query, tables: SearchTables, k: int = 3,
-                     chunk: int = 4096, rad: float = 100.0):
-    """Closest-triangle id per query point. query: (Q,3) -> (Q,) int32.
-
-    Chunked over queries so the (chunk, N) score matrix stays in VMEM-friendly
-    tiles; XLA fuses the matmul + top-k per chunk.
-    """
+@functools.partial(jax.jit, static_argnames=("chunk", "rad"))
+def _search(query, tables: SearchTables, chunk: int = 4096, rad: float = 100.0):
+    """Full search: (tri (Q,), tv (Q,3), vc (Q,3,3))."""
     q = query.astype(tables.coords.dtype)
     Q = q.shape[0]
+    coords = tables.coords
+    sq = jnp.sum(coords * coords, axis=1)
+    rc = _candidate_coord_table(tables)            # (N,C,3,3)
+
     pad = (-Q) % chunk
     qp = jnp.pad(q, ((0, pad), (0, 0)))
-    nchunks = qp.shape[0] // chunk
-    qs = qp.reshape(nchunks, chunk, 3)
+    qs = qp.reshape(-1, chunk, 3)
+
+    # lane-align the reduction axis: argmax over a non-128-multiple axis
+    # triggers a pathologically slow TPU codegen path (hundreds of seconds
+    # to compile); padding with -inf is free
+    npad = (-coords.shape[0]) % 128
+    neg_inf = jnp.asarray(-jnp.inf, coords.dtype)
 
     def body(qc):
-        idx = _nearest_k_vertices(qc, tables.coords, k)        # (c,k)
-        cand = tables.vtx_tri[idx]                             # (c,k,MT)
-        cand = cand.reshape(chunk, -1)
-        return _candidate_select(qc, cand, tables.coords, tables.faces, rad)
+        scores = 2.0 * (qc @ coords.T) - sq[None, :]
+        scores = jnp.pad(scores, ((0, 0), (0, npad)), constant_values=neg_inf)
+        nn = jnp.argmax(scores, axis=1)            # exact nearest vertex
+        cand = tables.ring_faces[nn]               # (c,C) row gather
+        tv = tables.ring_verts[nn]                 # (c,C,3) row gather
+        vc = rc[nn]                                # (c,C,3,3) row gather
+        return _select(qc, cand, tv, vc, rad)
 
-    out = jax.lax.map(body, qs).reshape(-1)
-    return out[:Q]
+    tri, tv, vc = jax.lax.map(body, qs)
+    return (tri.reshape(-1)[:Q], tv.reshape(-1, 3)[:Q],
+            vc.reshape(-1, 3, 3)[:Q])
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk", "rad"))
-def closest_vertex(query, tables: SearchTables, k: int = 3,
+def nearest_triangle(query, tables: SearchTables, k: int = 0,
+                     chunk: int = 4096, rad: float = 100.0):
+    """Closest-triangle id per query point. query: (Q,3) -> (Q,) int32.
+    (`k` retained for API compatibility; the 2-ring candidate set subsumes
+    the old top-k-vertex set.)"""
+    return _search(query, tables, chunk=chunk, rad=rad)[0]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "rad"))
+def closest_vertex(query, tables: SearchTables, k: int = 0,
                    chunk: int = 4096, rad: float = 100.0):
     """get_closest_vertex_ID (octree.cpp:216-233): euclidean-nearest vertex of
     the closest triangle (NOT the globally nearest vertex)."""
-    tri = nearest_triangle(query, tables, k=k, chunk=chunk, rad=rad)
-    tv = tables.faces[tri]                                     # (Q,3)
-    vcoords = tables.coords[tv]                                # (Q,3,3)
-    d = jnp.linalg.norm(vcoords - query[:, None, :].astype(vcoords.dtype), axis=-1)
+    _, tv, vc = _search(query, tables, chunk=chunk, rad=rad)
+    d = jnp.linalg.norm(vc - query[:, None, :].astype(vc.dtype), axis=-1)
     sel = jnp.argmin(d, axis=1)
     return jnp.take_along_axis(tv, sel[:, None], axis=1)[:, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk", "rad"))
-def barycentric_coords(query, tables: SearchTables, k: int = 3,
+def barycentric_coords(query, tables: SearchTables, k: int = 0,
                        chunk: int = 4096, rad: float = 100.0):
     """Closest triangle + barycentric weights per query
     (get_barycentric_weights, resampler.cpp:142-167).
     Returns (vertex_ids (Q,3) i32, weights (Q,3))."""
-    tri = nearest_triangle(query, tables, k=k, chunk=chunk, rad=rad)
-    tv = tables.faces[tri]
-    v0 = tables.coords[tv[:, 0]]
-    v1 = tables.coords[tv[:, 1]]
-    v2 = tables.coords[tv[:, 2]]
-    w = sph.barycentric_weights(v0, v1, v2, query.astype(v0.dtype))
+    _, tv, vc = _search(query, tables, chunk=chunk, rad=rad)
+    w = sph.barycentric_weights(vc[:, 0], vc[:, 1], vc[:, 2],
+                                query.astype(vc.dtype))
     return tv, w

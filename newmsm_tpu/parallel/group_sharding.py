@@ -133,7 +133,11 @@ def make_group_step(mesh: Mesh, statics: GroupStepStatics, n_subjects: int):
                   + jnp.sum(rl_a**2, -1)[..., None])
             dist = 2 * RAD * jnp.arcsin(
                 jnp.clip(jnp.sqrt(jnp.maximum(d2, 0)) / (2 * RAD), -1, 1))
-            neg, idx = jax.lax.top_k(-dist, st.pmax)       # (K,L,pmax)
+            npad = (-dist.shape[-1]) % 128   # lane-align top_k axis
+            dp = jnp.pad(dist, [(0, 0)] * (dist.ndim - 1) + [(0, npad)],
+                         constant_values=jnp.inf)
+            neg, idx = jax.lax.top_k(-dp, st.pmax)         # (K,L,pmax)
+            idx = jnp.minimum(idx, dist.shape[-1] - 1)
             rng_a = (-neg) < (st.cprange * spac_all[a])[:, None, None]
             da = maps_all[a]                               # (L,D,Nt)
             data_a = da[jnp.arange(L)[None, :, None, None],

@@ -57,8 +57,11 @@ def build_patches(cp_coords, src_coords, maxsep, cprange, pmax: int):
     chord = jnp.sqrt(jnp.maximum(chord2, 0.0))
     dist = 2.0 * RAD * jnp.arcsin(jnp.clip(chord / (2.0 * RAD), -1.0, 1.0))
     limit = (cprange * maxsep)[:, None]
-    neg = -dist
+    # lane-align the top_k axis (slow TPU codegen otherwise)
+    npad = (-dist.shape[1]) % 128
+    neg = jnp.pad(-dist, ((0, 0), (0, npad)), constant_values=-jnp.inf)
     _, idx = jax.lax.top_k(neg, pmax)                  # (K,pmax) nearest-first
+    idx = jnp.minimum(idx, dist.shape[1] - 1)
     d_sel = jnp.take_along_axis(dist, idx, axis=1)
     mask = d_sel < limit
     overflow = (dist < limit).sum(axis=1) > pmax

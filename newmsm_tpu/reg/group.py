@@ -337,7 +337,11 @@ class GroupMeshRegistration:
                   + jnp.sum(c * c, axis=-1)[..., None])
             chord = jnp.sqrt(jnp.maximum(d2, 0.0))
             dist = 2.0 * RAD * jnp.arcsin(jnp.clip(chord / (2 * RAD), -1, 1))
-            neg, idx = jax.lax.top_k(-dist, pmax)
+            npad = (-dist.shape[-1]) % 128   # lane-align top_k axis
+            dp = jnp.pad(dist, [(0, 0)] * (dist.ndim - 1) + [(0, npad)],
+                         constant_values=jnp.inf)
+            neg, idx = jax.lax.top_k(-dp, pmax)
+            idx = jnp.minimum(idx, dist.shape[-1] - 1)
             in_range = (-neg) < cprange * spac[s, v][..., None]
             return idx, in_range
 

@@ -62,13 +62,18 @@ def rodrigues(frm, to, eps=EPSILON):
     outer = axis[..., :, None] * axis[..., None, :]
     r_antipodal = 2.0 * outer - eye
 
-    near_identity = jnp.abs(1.0 - dot) < eps
-    degenerate = cross_n < eps
-    near_neg = jnp.abs(-1.0 - dot) < eps
+    # branch thresholds sized for float32 (the reference's 1e-8 works in
+    # double but misroutes the aligned case at f32 precision, which would
+    # return -I for the control point at the sampling-grid centre)
+    beps = jnp.asarray(1e-6, a.dtype)
+    degenerate_axis = cross_n < beps
+    aligned = degenerate_axis & (dot > 0)
+    anti_degenerate = degenerate_axis & (dot <= 0)
+    near_neg = (~degenerate_axis) & (dot < -1.0 + beps)
 
     r = jnp.where(near_neg[..., None, None], r_antipodal, r_general)
-    r = jnp.where(degenerate[..., None, None], -eye, r)
-    r = jnp.where(near_identity[..., None, None], eye, r)
+    r = jnp.where(anti_degenerate[..., None, None], -eye, r)
+    r = jnp.where(aligned[..., None, None], eye, r)
     return r
 
 

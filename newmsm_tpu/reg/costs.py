@@ -299,3 +299,171 @@ def pairwise_cost_volume(rl, cp_coords, tables: LevelTables, reglambda, rexp,
     n = pairs_p.shape[0] // pchunk
     out = jax.lax.map(body, pairs_p.reshape(n, pchunk, 2))
     return out.reshape(-1, L, L)[:Pr]
+
+
+# --------------------------------------------------------------------------
+# triclique likelihood (--triclique)
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("fmax",))
+def build_face_patches(src_coords, cp_tables: SearchTables, fmax: int):
+    """Assign each source vertex to its closest CP-grid face and invert to
+    padded per-face index lists (HO get_source_data,
+    DiscreteCostFunction.cpp:468-485).
+    Returns (face_idx (F,fmax) i32, mask (F,fmax), overflow (F,))."""
+    from ..ops.nearest import nearest_triangle
+    F = cp_tables.faces.shape[0]
+    N = src_coords.shape[0]
+    face_of = nearest_triangle(src_coords, cp_tables)            # (N,)
+    order = jnp.argsort(face_of, stable=True)
+    f_sorted = face_of[order]
+    counts = jax.ops.segment_sum(jnp.ones_like(f_sorted), f_sorted,
+                                 num_segments=F)
+    starts = jnp.cumsum(counts) - counts
+    pos = jnp.arange(N) - starts[f_sorted].astype(jnp.int64 if N > 2**31 else jnp.int32)
+    keep = pos < fmax
+    flat = jnp.where(keep, f_sorted * fmax + pos, F * fmax)
+    idx = jnp.full((F * fmax,), 0, jnp.int32).at[flat].set(
+        order.astype(jnp.int32), mode="drop").reshape(F, fmax)
+    mask = jnp.zeros((F * fmax,), bool).at[flat].set(True, mode="drop").reshape(F, fmax)
+    return idx, mask, counts > fmax
+
+
+def triclique_likelihood(cp_coords, rl, tables: LevelTables, face_idx,
+                         face_mask, src_coords, abs_weights, cfweights,
+                         la, lb, lc, simval: int, percentile=0.75,
+                         multivariate: bool = False):
+    """Triangular-patch likelihood (HO*::triplet_likelihood,
+    DiscreteCostFunction.cpp:487-531 / :565-618): project each patch point
+    onto the CURRENT CP triangle's plane, re-evaluate its barycentric
+    position at the deformed corners, re-project to the sphere, resample the
+    target there and compare with the source patch. la/lb/lc: (T,C).
+    Returns (T,C)."""
+    t = tables.triplets
+    Pf = face_idx.shape[1]
+    src_pts = src_coords[face_idx]                               # (T,Pf,3)
+
+    cp0 = cp_coords[t[:, 0]][:, None, :]
+    cp1 = cp_coords[t[:, 1]][:, None, :]
+    cp2 = cp_coords[t[:, 2]][:, None, :]
+    sp = sph.project_to_plane(src_pts, cp0, cp1, cp2)            # (T,Pf,3)
+
+    # barycentric areas at sp wrt the CURRENT triangle (triangle.cpp:159-172)
+    aa = sph.tri_area(sp, cp1, cp2)
+    ab = sph.tri_area(sp, cp0, cp2)
+    ac = sph.tri_area(sp, cp0, cp1)
+    tot = aa + ab + ac
+    tot = jnp.where(tot > 0, tot, 1.0)
+    wa, wb, wc = aa / tot, ab / tot, ac / tot                    # (T,Pf)
+
+    na = rl[t[:, 0][:, None], la]                                # (T,C,3)
+    nb = rl[t[:, 1][:, None], lb]
+    nc = rl[t[:, 2][:, None], lc]
+    newp = (na[:, :, None, :] * wa[:, None, :, None]
+            + nb[:, :, None, :] * wb[:, None, :, None]
+            + nc[:, :, None, :] * wc[:, None, :, None])          # (T,C,Pf,3)
+    newp = sph.normalize(newp) * RAD
+
+    tgt = _resample_target(newp, tables.target_tables,
+                           tables.target_data)                   # (T,C,Pf,D)
+    src_patch = tables.source_data[:, face_idx]                  # (D,T,Pf)
+    w_patch = cfweights[:, face_idx]                             # (Dw,T,Pf)
+    m = face_mask.astype(tgt.dtype)
+
+    if not multivariate:
+        a = jnp.broadcast_to(src_patch[0][:, None, :], tgt.shape[:3])
+        b = tgt[..., 0]
+        w = jnp.broadcast_to(w_patch[0][:, None, :], a.shape)
+        mask = jnp.broadcast_to(m[:, None, :], a.shape)
+        sim = simi.sim_for_min(a, b, w, mask, simval, percentile)  # (T,C)
+    else:
+        D = tgt.shape[-1]
+        a = jnp.broadcast_to(src_patch.transpose(1, 2, 0)[:, None], tgt.shape)
+        wd = w_patch.transpose(1, 2, 0)
+        if wd.shape[-1] != D:
+            wd = jnp.broadcast_to(wd[..., :1], wd.shape[:-1] + (D,))
+        w = jnp.broadcast_to(wd[:, None], tgt.shape)
+        maskd = jnp.ones_like(a)
+        per_vtx = simi.sim_for_min(a, tgt, w, maskd, simval, percentile)
+        mm = m[:, None, :]
+        cnt = jnp.maximum(mm.sum(-1), 1.0)
+        sim = jnp.sum(per_vtx * mm, axis=-1) / cnt
+
+    aw = (abs_weights[t[:, 0]] + abs_weights[t[:, 1]]
+          + abs_weights[t[:, 2]])[:, None] / 3.0
+    return aw * sim
+
+
+# --------------------------------------------------------------------------
+# anatomical (aMSM) regulariser, regmode 5
+# --------------------------------------------------------------------------
+
+class AnatTables(NamedTuple):
+    """Static aMSM state (resample_anatomy, mesh_registration.cpp:250-332)."""
+    lineage: jax.Array        # (T, Fd) descendant anat faces per CP face
+    anat_faces: jax.Array     # (Ta,3) anat-ico faces
+    anat_bary: jax.Array      # (Va,3) barycentric weights wrt parent CP tri
+    anat_parent: jax.Array    # (Va,3) CP vertex ids the weights refer to
+    anat_sphere: SearchTables  # pristine anat-res sphere (aICO)
+    anat_target: jax.Array    # (Va,3) reference anatomical coords
+    anat_orig: jax.Array      # (Va,3) input anatomical coords (resampled)
+
+
+def anatomical_triplet_costs(cp_coords, rl, tables: LevelTables,
+                             anat: AnatTables, la, lb, lc, reglambda, mu,
+                             kappa, k_exp, rexp, fixnan=False):
+    """regmode 5 triplet cost (computeTripletCost case 4/5 + deform_anatomy,
+    DiscreteCostFunction.cpp:169-182,255-301): move anat vertices with the
+    deformed CP corners via their subdivision barycentrics, re-project
+    through the pristine anat sphere onto the reference anatomy, and average
+    the strain of the descendant anatomical faces. Returns (T,C)."""
+    from ..ops.nearest import barycentric_coords
+
+    t = tables.triplets
+    T, C = la.shape
+    Fd = anat.lineage.shape[1]
+
+    # folding gate on the CP triangle itself (same as spherical path)
+    va = rl[t[:, 0][:, None], la]
+    vb = rl[t[:, 1][:, None], lb]
+    vc = rl[t[:, 2][:, None], lc]
+    cur = cp_coords[t]
+    n_cur = sph.tri_normal(cur[:, 0], cur[:, 1], cur[:, 2])
+    n_def = sph.tri_normal(va, vb, vc)
+    folded = jnp.sum(n_def * n_cur[:, None, :], axis=-1) < 0.0
+
+    # anat vertices of the descendant faces: (T,Fd,3v)
+    fv = anat.anat_faces[anat.lineage]
+    wgt = anat.anat_bary[fv]                         # (T,Fd,3v,3w)
+    par = anat.anat_parent[fv]                       # (T,Fd,3v,3w) CP ids
+
+    # each anat vertex moves with its OWN parent face's corners: corners
+    # belonging to this triplet take their deformed positions, others stay
+    # at the current CP grid. (The reference zeroes mismatched corners via
+    # std::map default-construction, a documented bug — deform_anatomy,
+    # DiscreteCostFunction.cpp:255-301 "bugs expected"; keeping neighbours
+    # fixed is the well-defined completion of the same semantics.)
+    base = cp_coords[par]                            # (T,Fd,3v,3w,3)
+    full_shape = la.shape[:2] + base.shape[1:]       # (T,C,Fd,3v,3w,3)
+    newp = jnp.broadcast_to(base[:, None], full_shape)
+    for corner, vdef in ((0, va), (1, vb), (2, vc)):
+        is_c = (par == t[:, corner][:, None, None, None])   # (T,Fd,3v,3w)
+        newp = jnp.where(is_c[:, None, ..., None],
+                         vdef[:, :, None, None, None, :], newp)
+    newp = jnp.sum(newp * wgt[:, None, ..., None], axis=-2)
+    # newp: (T,C,Fd,3v,3) — NOT renormalised (reference keeps the raw
+    # barycentric combination before the sphere lookup)
+
+    flat = newp.reshape(-1, 3)
+    tv, w = barycentric_coords(flat, anat.anat_sphere)
+    trans = jnp.sum(anat.anat_target[tv] * w[..., None], axis=1)
+    trans = trans.reshape(T, C, Fd, 3, 3)
+
+    orig = anat.anat_orig[fv]                        # (T,Fd,3v,3)
+    orig_b = jnp.broadcast_to(orig[:, None], trans.shape)
+    strain = triangular_strain(orig_b, trans, mu, kappa, k_exp)  # (T,C,Fd)
+    cost = strain.mean(axis=-1)
+    cost = reglambda * jnp.power(cost, rexp)
+    if fixnan:
+        cost = jnp.where(jnp.isnan(cost), FIX_NAN, cost)
+    return jnp.where(folded, FOLDING * reglambda, cost)

@@ -153,6 +153,62 @@ class MeshRegistration:
         self.model = PairwiseModel(mc, control, self.sph_orig, target,
                                    self.feat.get_input_data(),
                                    self.feat.get_reference_data())
+        if self.in_anat is not None and cfg.regmode in (4, 5):
+            self.model.anat = self._resample_anatomy(level, control)
+        elif cfg.regmode in (4, 5):
+            raise ValueError("--regoption 5 requires anatomical meshes")
+
+    def _resample_anatomy(self, level: int, control: Mesh):
+        """Static aMSM tables (resample_anatomy, mesh_registration.cpp:250-332):
+        anat-res icosphere with face lineage back to the CP grid, per-vertex
+        barycentrics wrt the parent CP triangle, and the input/reference
+        anatomies resampled onto it through the sphere correspondences."""
+        import jax.numpy as jnp
+        from ..core.icosphere import face_lineage_across, icosphere
+        from ..ops.nearest import build_tables
+        from .costs import AnatTables
+        from ..core import spherical as sphm
+
+        cfg = self.cfg
+        cp_res = cfg.cpgrid[level]
+        anat_res = cfg.anatgrid[level]
+        if self.in_anat.nvertices != self.in_mesh.nvertices or \
+                self.ref_anat.nvertices != self.ref_mesh.nvertices:
+            raise ValueError("anatomical mesh resolution inconsistent with "
+                             "spherical mesh resolution")
+
+        a_ico = Mesh.from_icosphere(anat_res)
+        lineage = face_lineage_across(cp_res, anat_res)          # (T, 4^d)
+
+        # per anat-vertex barycentrics wrt the parent CP face's corners —
+        # iterate parent faces in order so later parents overwrite shared
+        # boundary vertices exactly like the reference loop (cpp:309-327)
+        cpc = control.coords
+        bary = np.zeros((a_ico.nvertices, 3))
+        parent = np.zeros((a_ico.nvertices, 3), np.int32)
+        for t in range(lineage.shape[0]):
+            ids = control.faces[t]
+            v0, v1, v2 = cpc[ids[0]], cpc[ids[1]], cpc[ids[2]]
+            verts = np.unique(a_ico.faces[lineage[t]])
+            w = np.asarray(sphm.barycentric_weights(
+                jnp.asarray(v0)[None], jnp.asarray(v1)[None],
+                jnp.asarray(v2)[None], jnp.asarray(a_ico.coords[verts])))
+            bary[verts] = w
+            parent[verts] = ids
+
+        anat_orig = rsp.surface_resample(self.in_anat, self.in_mesh, a_ico)
+        anat_target = rsp.surface_resample(self.ref_anat, self.ref_mesh, a_ico)
+
+        return AnatTables(
+            lineage=jnp.asarray(lineage),
+            anat_faces=jnp.asarray(a_ico.faces.astype(np.int32)),
+            anat_bary=jnp.asarray(bary, jnp.float32),
+            anat_parent=jnp.asarray(parent),
+            anat_sphere=build_tables(a_ico.coords, a_ico.faces,
+                                     a_ico.adjacency[2]),
+            anat_target=jnp.asarray(anat_target.coords, jnp.float32),
+            anat_orig=jnp.asarray(anat_orig.coords, jnp.float32),
+        )
 
     def _downsample_cfw(self, cfw, excl):
         if excl is not None:

@@ -111,6 +111,12 @@ class PairwiseModel:
         self.scale = 1.0
         self.labeling = np.zeros(K, np.int32)
         self._warned_overflow = False
+        self.anat: "C.AnatTables | None" = None   # set by driver for regmode 5
+        if cfg.triclique:
+            density = source.nvertices / self.triplets_np.shape[0]
+            self.fmax = int(min(source.nvertices, max(16, 6 * density)))
+        else:
+            self.fmax = 0
 
     # -- per-iteration pieces ------------------------------------------------
 
@@ -157,13 +163,25 @@ class PairwiseModel:
                        data=absw_src[None, :])
         absw = rsp.metric_resample(carrier, self.cp_grid)[0].data[0]
 
-        self.iter += 1
-        return dict(
+        s = dict(
             cp=cp, src=src, labels=lbl, rots=rots, rl=rl,
             patch_idx=patch_idx, patch_mask=patch_mask,
             cfweights=jnp.asarray(cfweights, jnp.float32),
             abs_weights=jnp.asarray(absw, jnp.float32),
         )
+        if cfg.triclique:
+            # per-CP-face source patches (rebuilt each iteration: the CP
+            # grid moves; HO get_source_data, DiscreteCostFunction.cpp:468)
+            cp_search = build_tables(self.cp_grid.coords, self.cp_grid.faces,
+                                     self.cp_grid.adjacency[2])
+            fidx, fmask, foverflow = C.build_face_patches(src, cp_search,
+                                                          self.fmax)
+            if not self._warned_overflow and bool(foverflow.any()):
+                print("warning: face patch capacity overflow; increase fmax")
+                self._warned_overflow = True
+            s["face_idx"], s["face_mask"] = fidx, fmask
+        self.iter += 1
+        return s
 
     def unary(self, s) -> jax.Array:
         cfg = self.cfg
@@ -182,10 +200,26 @@ class PairwiseModel:
         cfg = self.cfg
         rl, cp = s["rl"], s["cp"]
 
-        def fn(la, lb, lc):
+        def regulariser(la, lb, lc):
+            if cfg.regmode in (4, 5) and self.anat is not None:
+                return C.anatomical_triplet_costs(
+                    cp, rl, self.tables, self.anat, la, lb, lc,
+                    cfg.reglambda, cfg.mu, cfg.kappa, cfg.k_exp, cfg.rexp,
+                    fixnan=cfg.fixnan)
             return C.triplet_combo_costs(
                 rl, cp, self.tables, la, lb, lc, cfg.reglambda, cfg.mu,
                 cfg.kappa, cfg.k_exp, cfg.rexp, fixnan=cfg.fixnan)
+
+        if not cfg.triclique:
+            return regulariser
+
+        def fn(la, lb, lc):
+            lik = C.triclique_likelihood(
+                cp, rl, self.tables, s["face_idx"], s["face_mask"], s["src"],
+                s["abs_weights"], s["cfweights"], la, lb, lc, cfg.simval,
+                cfg.percentile, multivariate=cfg.multivariate
+                and not cfg.patchwise)
+            return lik + regulariser(la, lb, lc)
         return fn
 
     def pair_combo_fn(self, s):

@@ -118,7 +118,18 @@ def build_adjacency(faces: np.ndarray, nverts: int):
              tri_idx (N,maxt) int32 padded with -1, tri_cnt (N,)).
     Incident faces are listed in face-insertion order (matches reference
     Mpoint::trID push order); neighbours in first-encounter order.
+
+    Uses the native C++ builder when available (identical output, ~50x
+    faster at ico-6+ scale); this function is also its fallback.
     """
+    try:
+        from ..native import _geometry
+        if _geometry is not None:
+            ni, nc, ti, tc = _geometry.adjacency(
+                np.ascontiguousarray(faces, np.int32), int(nverts))
+            return ni, nc, ti, tc
+    except ImportError:
+        pass
     nbrs: list[list[int]] = [[] for _ in range(nverts)]
     tris: list[list[int]] = [[] for _ in range(nverts)]
     for t in range(faces.shape[0]):

@@ -1,0 +1,381 @@
+/* Native runtime kernels for newmsm_tpu (host side).
+ *
+ * The TPU compute path is JAX/XLA; this module provides the C++ runtime
+ * pieces that stay on the host, where the reference implementation is also
+ * native C++ (msm-newresampler): mesh topology construction (adjacency,
+ * 2-ring candidate tables — O(N) work that dominates Python start-up at
+ * ico-6/7 scale and for large cohorts) and an exact axis-aligned BVH
+ * nearest-triangle search reproducing the reference octree's query
+ * semantics (projective containment with boundary-distance tie-break,
+ * geodesic vertex-distance fallback; octree.cpp:156-214). The BVH is the
+ * golden reference the device kernel is validated against and the fallback
+ * for host-only workflows.
+ *
+ * CPython C API only (no pybind11 in the image).
+ */
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+#define NPY_NO_DEPRECATED_API NPY_1_7_API_VERSION
+#include <numpy/arrayobject.h>
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <vector>
+
+namespace {
+
+struct Vec3 {
+    double x, y, z;
+};
+
+static inline Vec3 sub(const Vec3& a, const Vec3& b) {
+    return {a.x - b.x, a.y - b.y, a.z - b.z};
+}
+static inline Vec3 cross(const Vec3& a, const Vec3& b) {
+    return {a.y * b.z - a.z * b.y, a.z * b.x - a.x * b.z, a.x * b.y - a.y * b.x};
+}
+static inline double dot(const Vec3& a, const Vec3& b) {
+    return a.x * b.x + a.y * b.y + a.z * b.z;
+}
+static inline double norm(const Vec3& a) { return std::sqrt(dot(a, a)); }
+static inline Vec3 scale(const Vec3& a, double s) { return {a.x * s, a.y * s, a.z * s}; }
+
+/* ----------------------------------------------------------------------- */
+/* adjacency(faces, nverts) -> (nbr_idx, nbr_cnt, tri_idx, tri_cnt)        */
+/* ----------------------------------------------------------------------- */
+
+static PyObject* adjacency(PyObject*, PyObject* args) {
+    PyArrayObject* faces_obj;
+    long nverts;
+    if (!PyArg_ParseTuple(args, "O!l", &PyArray_Type, &faces_obj, &nverts))
+        return nullptr;
+
+    PyArrayObject* faces = (PyArrayObject*)PyArray_FROM_OTF(
+        (PyObject*)faces_obj, NPY_INT32, NPY_ARRAY_IN_ARRAY);
+    if (!faces) return nullptr;
+    const npy_intp t = PyArray_DIM(faces, 0);
+    const int32_t* f = (const int32_t*)PyArray_DATA(faces);
+
+    std::vector<std::vector<int32_t>> nbrs(nverts), tris(nverts);
+    for (npy_intp i = 0; i < t; ++i) {
+        const int32_t v[3] = {f[3 * i], f[3 * i + 1], f[3 * i + 2]};
+        for (int c = 0; c < 3; ++c) {
+            const int32_t u = v[c];
+            tris[u].push_back((int32_t)i);
+            for (int o = 0; o < 3; ++o) {
+                if (o == c) continue;
+                const int32_t w = v[o];
+                auto& lst = nbrs[u];
+                if (std::find(lst.begin(), lst.end(), w) == lst.end())
+                    lst.push_back(w);
+            }
+        }
+    }
+    npy_intp maxd = 1, maxt = 1;
+    for (long i = 0; i < nverts; ++i) {
+        maxd = std::max(maxd, (npy_intp)nbrs[i].size());
+        maxt = std::max(maxt, (npy_intp)tris[i].size());
+    }
+    npy_intp dims_n[2] = {nverts, maxd};
+    npy_intp dims_t[2] = {nverts, maxt};
+    npy_intp dims_1[1] = {nverts};
+    PyArrayObject* nbr_idx = (PyArrayObject*)PyArray_SimpleNew(2, dims_n, NPY_INT32);
+    PyArrayObject* tri_idx = (PyArrayObject*)PyArray_SimpleNew(2, dims_t, NPY_INT32);
+    PyArrayObject* nbr_cnt = (PyArrayObject*)PyArray_SimpleNew(1, dims_1, NPY_INT32);
+    PyArrayObject* tri_cnt = (PyArrayObject*)PyArray_SimpleNew(1, dims_1, NPY_INT32);
+    int32_t* ni = (int32_t*)PyArray_DATA(nbr_idx);
+    int32_t* ti = (int32_t*)PyArray_DATA(tri_idx);
+    int32_t* nc = (int32_t*)PyArray_DATA(nbr_cnt);
+    int32_t* tc = (int32_t*)PyArray_DATA(tri_cnt);
+    for (long i = 0; i < nverts; ++i) {
+        for (npy_intp j = 0; j < maxd; ++j)
+            ni[i * maxd + j] = j < (npy_intp)nbrs[i].size() ? nbrs[i][j] : -1;
+        for (npy_intp j = 0; j < maxt; ++j)
+            ti[i * maxt + j] = j < (npy_intp)tris[i].size() ? tris[i][j] : -1;
+        nc[i] = (int32_t)nbrs[i].size();
+        tc[i] = (int32_t)tris[i].size();
+    }
+    Py_DECREF(faces);
+    return Py_BuildValue("NNNN", nbr_idx, nbr_cnt, tri_idx, tri_cnt);
+}
+
+/* ----------------------------------------------------------------------- */
+/* ring2_faces(nbr_idx, tri_idx) -> (N, C) table, padded with first entry  */
+/* ----------------------------------------------------------------------- */
+
+static PyObject* ring2_faces(PyObject*, PyObject* args) {
+    PyArrayObject *nbr_obj, *tri_obj;
+    if (!PyArg_ParseTuple(args, "O!O!", &PyArray_Type, &nbr_obj,
+                          &PyArray_Type, &tri_obj))
+        return nullptr;
+    PyArrayObject* nbr = (PyArrayObject*)PyArray_FROM_OTF(
+        (PyObject*)nbr_obj, NPY_INT32, NPY_ARRAY_IN_ARRAY);
+    PyArrayObject* tri = (PyArrayObject*)PyArray_FROM_OTF(
+        (PyObject*)tri_obj, NPY_INT32, NPY_ARRAY_IN_ARRAY);
+    if (!nbr || !tri) return nullptr;
+    const npy_intp n = PyArray_DIM(nbr, 0);
+    const npy_intp md = PyArray_DIM(nbr, 1);
+    const npy_intp mt = PyArray_DIM(tri, 1);
+    const int32_t* nb = (const int32_t*)PyArray_DATA(nbr);
+    const int32_t* tr = (const int32_t*)PyArray_DATA(tri);
+
+    std::vector<std::vector<int32_t>> rows((size_t)n);
+    std::vector<char> seen;
+    for (npy_intp v = 0; v < n; ++v) {
+        auto& row = rows[v];
+        auto add_faces = [&](npy_intp u) {
+            for (npy_intp j = 0; j < mt; ++j) {
+                int32_t tf = tr[u * mt + j];
+                if (tf < 0) continue;
+                if (std::find(row.begin(), row.end(), tf) == row.end())
+                    row.push_back(tf);
+            }
+        };
+        add_faces(v);
+        for (npy_intp j = 0; j < md; ++j) {
+            int32_t u = nb[v * md + j];
+            if (u >= 0) add_faces(u);
+        }
+    }
+    npy_intp cmax = 1;
+    for (auto& r : rows) cmax = std::max(cmax, (npy_intp)r.size());
+    npy_intp dims[2] = {n, cmax};
+    PyArrayObject* out = (PyArrayObject*)PyArray_SimpleNew(2, dims, NPY_INT32);
+    int32_t* o = (int32_t*)PyArray_DATA(out);
+    for (npy_intp v = 0; v < n; ++v) {
+        const auto& r = rows[v];
+        for (npy_intp j = 0; j < cmax; ++j)
+            o[v * cmax + j] = j < (npy_intp)r.size() ? r[j] : r[0];
+    }
+    Py_DECREF(nbr);
+    Py_DECREF(tri);
+    return (PyObject*)out;
+}
+
+/* ----------------------------------------------------------------------- */
+/* BVH nearest-triangle with reference-octree query semantics              */
+/* ----------------------------------------------------------------------- */
+
+struct BVHNode {
+    double lo[3], hi[3];
+    int32_t left = -1, right = -1;   // children; leaf if left < 0
+    int32_t start = 0, count = 0;    // triangle range (leaf)
+};
+
+struct BVH {
+    std::vector<BVHNode> nodes;
+    std::vector<int32_t> tri_order;
+    std::vector<Vec3> centroids;
+};
+
+static void build_bvh(BVH& bvh, const double* coords, const int32_t* faces,
+                      npy_intp t) {
+    bvh.tri_order.resize((size_t)t);
+    bvh.centroids.resize((size_t)t);
+    for (npy_intp i = 0; i < t; ++i) {
+        bvh.tri_order[(size_t)i] = (int32_t)i;
+        Vec3 c{0, 0, 0};
+        for (int k = 0; k < 3; ++k) {
+            const double* p = coords + 3 * faces[3 * i + k];
+            c.x += p[0] / 3.0;
+            c.y += p[1] / 3.0;
+            c.z += p[2] / 3.0;
+        }
+        bvh.centroids[(size_t)i] = c;
+    }
+    struct Item { int32_t node; int32_t start, count; };
+    bvh.nodes.push_back({});
+    std::vector<Item> stack{{0, 0, (int32_t)t}};
+    while (!stack.empty()) {
+        Item it = stack.back();
+        stack.pop_back();
+        BVHNode& node = bvh.nodes[(size_t)it.node];
+        node.start = it.start;
+        node.count = it.count;
+        double lo[3] = {1e30, 1e30, 1e30}, hi[3] = {-1e30, -1e30, -1e30};
+        for (int32_t i = it.start; i < it.start + it.count; ++i) {
+            int32_t tid = bvh.tri_order[(size_t)i];
+            for (int k = 0; k < 3; ++k) {
+                const double* p = coords + 3 * faces[3 * tid + k];
+                for (int d = 0; d < 3; ++d) {
+                    lo[d] = std::min(lo[d], p[d]);
+                    hi[d] = std::max(hi[d], p[d]);
+                }
+            }
+        }
+        for (int d = 0; d < 3; ++d) { node.lo[d] = lo[d]; node.hi[d] = hi[d]; }
+        if (it.count <= 8) { node.left = node.right = -1; continue; }
+        int axis = 0;
+        double ext = hi[0] - lo[0];
+        for (int d = 1; d < 3; ++d)
+            if (hi[d] - lo[d] > ext) { ext = hi[d] - lo[d]; axis = d; }
+        int32_t mid = it.start + it.count / 2;
+        auto cmp = [&](int32_t a, int32_t b) {
+            const Vec3& ca = bvh.centroids[(size_t)a];
+            const Vec3& cb = bvh.centroids[(size_t)b];
+            return (axis == 0 ? ca.x : axis == 1 ? ca.y : ca.z) <
+                   (axis == 0 ? cb.x : axis == 1 ? cb.y : cb.z);
+        };
+        std::nth_element(bvh.tri_order.begin() + it.start,
+                         bvh.tri_order.begin() + mid,
+                         bvh.tri_order.begin() + it.start + it.count, cmp);
+        int32_t l = (int32_t)bvh.nodes.size();
+        bvh.nodes.push_back({});
+        bvh.nodes.push_back({});
+        bvh.nodes[(size_t)it.node].left = l;
+        bvh.nodes[(size_t)it.node].right = l + 1;
+        stack.push_back({l, it.start, mid - it.start});
+        stack.push_back({l + 1, mid, it.start + it.count - mid});
+    }
+}
+
+static double box_dist2(const BVHNode& n, const Vec3& p) {
+    double d2 = 0;
+    const double pv[3] = {p.x, p.y, p.z};
+    for (int d = 0; d < 3; ++d) {
+        double v = pv[d] < n.lo[d] ? n.lo[d] - pv[d]
+                 : pv[d] > n.hi[d] ? pv[d] - n.hi[d] : 0.0;
+        d2 += v * v;
+    }
+    return d2;
+}
+
+/* reference containment test (point.cpp:36-44) + boundary distance
+ * (triangle.cpp:85-122) on the ray projection (octree.cpp:143-154). */
+static bool tri_project_test(const Vec3& q, const Vec3& v0, const Vec3& v1,
+                             const Vec3& v2, double* boundary_dist,
+                             double* point_dist) {
+    Vec3 s1 = sub(v2, v0); double n1 = norm(s1); if (n1 > 0) s1 = scale(s1, 1 / n1);
+    Vec3 s2 = sub(v1, v0); double n2 = norm(s2); if (n2 > 0) s2 = scale(s2, 1 / n2);
+    Vec3 nn = cross(s1, s2); double nl = norm(nn); if (nl > 0) nn = scale(nn, 1 / nl);
+    double denom = dot(nn, q);
+    if (denom == 0.0) return false;
+    double si = dot(nn, v0) / denom;
+    Vec3 pp = scale(q, si);
+    *point_dist = norm(sub(pp, q));
+
+    auto same_side = [&](const Vec3& p1, const Vec3& p2, const Vec3& a,
+                         const Vec3& b) {
+        Vec3 ab = sub(b, a);
+        return dot(cross(ab, sub(p1, a)), cross(ab, sub(p2, a))) > -1e-8;
+    };
+    if (!(same_side(pp, v0, v1, v2) && same_side(pp, v1, v2, v0) &&
+          same_side(pp, v2, v0, v1)))
+        return false;
+
+    double dmin = 1e300;
+    const Vec3* vs[3] = {&v0, &v1, &v2};
+    for (int a = 0; a < 3; ++a)
+        for (int b = a + 1; b < 3; ++b) {
+            Vec3 u = sub(*vs[b], *vs[a]);
+            if (dot(sub(pp, *vs[a]), u) > 0 && dot(sub(pp, *vs[b]), u) < 0) {
+                double d = norm(cross(sub(pp, *vs[a]), sub(pp, *vs[b]))) / norm(u);
+                dmin = std::min(dmin, d);
+            }
+        }
+    for (int a = 0; a < 3; ++a) dmin = std::min(dmin, norm(sub(pp, *vs[a])));
+    *boundary_dist = dmin;
+    return true;
+}
+
+static PyObject* nearest_triangle_bvh(PyObject*, PyObject* args) {
+    PyArrayObject *coords_obj, *faces_obj, *query_obj;
+    if (!PyArg_ParseTuple(args, "O!O!O!", &PyArray_Type, &coords_obj,
+                          &PyArray_Type, &faces_obj, &PyArray_Type, &query_obj))
+        return nullptr;
+    PyArrayObject* coords = (PyArrayObject*)PyArray_FROM_OTF(
+        (PyObject*)coords_obj, NPY_DOUBLE, NPY_ARRAY_IN_ARRAY);
+    PyArrayObject* faces = (PyArrayObject*)PyArray_FROM_OTF(
+        (PyObject*)faces_obj, NPY_INT32, NPY_ARRAY_IN_ARRAY);
+    PyArrayObject* query = (PyArrayObject*)PyArray_FROM_OTF(
+        (PyObject*)query_obj, NPY_DOUBLE, NPY_ARRAY_IN_ARRAY);
+    if (!coords || !faces || !query) return nullptr;
+
+    const double* c = (const double*)PyArray_DATA(coords);
+    const int32_t* f = (const int32_t*)PyArray_DATA(faces);
+    const double* qd = (const double*)PyArray_DATA(query);
+    const npy_intp t = PyArray_DIM(faces, 0);
+    const npy_intp nq = PyArray_DIM(query, 0);
+
+    BVH bvh;
+    build_bvh(bvh, c, f, t);
+
+    npy_intp dims[1] = {nq};
+    PyArrayObject* out = (PyArrayObject*)PyArray_SimpleNew(1, dims, NPY_INT32);
+    int32_t* o = (int32_t*)PyArray_DATA(out);
+
+    std::vector<int32_t> node_stack;
+    for (npy_intp qi = 0; qi < nq; ++qi) {
+        Vec3 q{qd[3 * qi], qd[3 * qi + 1], qd[3 * qi + 2]};
+        /* pass 1: contained candidates, min boundary distance (tier 1/2);
+         * prune by centroid distance radius grown adaptively */
+        int32_t best = -1;
+        double best_bd = 1e300;
+        int32_t best_fb = -1;
+        double best_fb_d = 1e300;
+        node_stack.clear();
+        node_stack.push_back(0);
+        while (!node_stack.empty()) {
+            int32_t ni = node_stack.back();
+            node_stack.pop_back();
+            const BVHNode& node = bvh.nodes[(size_t)ni];
+            double b2 = box_dist2(node, q);
+            if (b2 > best_fb_d * best_fb_d) continue;
+            if (node.left >= 0) {
+                node_stack.push_back(node.left);
+                node_stack.push_back(node.right);
+                continue;
+            }
+            for (int32_t i = node.start; i < node.start + node.count; ++i) {
+                int32_t tid = bvh.tri_order[(size_t)i];
+                Vec3 v0{c[3 * f[3 * tid]], c[3 * f[3 * tid] + 1], c[3 * f[3 * tid] + 2]};
+                Vec3 v1{c[3 * f[3 * tid + 1]], c[3 * f[3 * tid + 1] + 1], c[3 * f[3 * tid + 1] + 2]};
+                Vec3 v2{c[3 * f[3 * tid + 2]], c[3 * f[3 * tid + 2] + 1], c[3 * f[3 * tid + 2] + 2]};
+                double bd, pd;
+                if (tri_project_test(q, v0, v1, v2, &bd, &pd)) {
+                    /* octree leaf semantics: among contained candidates that
+                     * are near the query (not the antipodal hit), take min
+                     * boundary distance */
+                    if (pd < best_fb_d + 1e-9 && bd < best_bd) {
+                        best_bd = bd;
+                        best = tid;
+                    }
+                }
+                double dmin = std::min({norm(sub(q, v0)), norm(sub(q, v1)),
+                                        norm(sub(q, v2))});
+                if (dmin < best_fb_d) {
+                    best_fb_d = dmin;
+                    best_fb = tid;
+                }
+            }
+        }
+        o[qi] = best >= 0 ? best : best_fb;
+    }
+
+    Py_DECREF(coords);
+    Py_DECREF(faces);
+    Py_DECREF(query);
+    return (PyObject*)out;
+}
+
+static PyMethodDef methods[] = {
+    {"adjacency", adjacency, METH_VARARGS,
+     "adjacency(faces, nverts) -> (nbr_idx, nbr_cnt, tri_idx, tri_cnt)"},
+    {"ring2_faces", ring2_faces, METH_VARARGS,
+     "ring2_faces(nbr_idx, tri_idx) -> (N,C) candidate-face table"},
+    {"nearest_triangle_bvh", nearest_triangle_bvh, METH_VARARGS,
+     "nearest_triangle_bvh(coords, faces, queries) -> (Q,) triangle ids"},
+    {nullptr, nullptr, 0, nullptr}};
+
+static struct PyModuleDef moduledef = {
+    PyModuleDef_HEAD_INIT, "_geometry",
+    "Native host runtime: mesh topology + exact BVH nearest-triangle",
+    -1, methods};
+
+}  // namespace
+
+PyMODINIT_FUNC PyInit__geometry(void) {
+    import_array();
+    return PyModule_Create(&moduledef);
+}

@@ -50,7 +50,15 @@ def _icosphere_ring_faces(resolution: int) -> np.ndarray:
 
 def _build_ring_faces(nbr_idx: np.ndarray, tri_idx: np.ndarray) -> np.ndarray:
     """Faces incident to a vertex or to any of its neighbours ("2-ring"
-    faces)."""
+    faces). Native C++ builder when available; this is its fallback."""
+    try:
+        from ..native import _geometry
+        if _geometry is not None:
+            return _geometry.ring2_faces(
+                np.ascontiguousarray(nbr_idx, np.int32),
+                np.ascontiguousarray(tri_idx, np.int32))
+    except ImportError:
+        pass
     n = nbr_idx.shape[0]
     rows = []
     for v in range(n):

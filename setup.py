@@ -1,0 +1,14 @@
+import numpy as np
+from setuptools import Extension, setup
+
+setup(
+    ext_modules=[
+        Extension(
+            "newmsm_tpu.native._geometry",
+            sources=["newmsm_tpu/native/_geometry.cpp"],
+            include_dirs=[np.get_include()],
+            extra_compile_args=["-O3", "-std=c++17"],
+            optional=True,   # pure-Python fallbacks exist
+        )
+    ]
+)

@@ -44,7 +44,6 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-f", "--format", default="GIFTI",
                    choices=["GIFTI", "VTK", "ASCII", "ASCII_MAT"])
     p.add_argument("-c", "--conf", default="", help="configuration file")
-    p.add_argument("--levels", type=int, default=0)
     return p
 
 

@@ -198,11 +198,11 @@ def make_group_step(mesh: Mesh, statics: GroupStepStatics, n_subjects: int):
                                      labeling)
         return labeling
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     pspec = P("subjects")
     return jax.jit(shard_map(
         step, mesh=mesh,
         in_specs=(pspec, pspec, pspec, P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     ))

@@ -86,6 +86,7 @@ def main(argv=None) -> int:
     from .reg.driver import MeshRegistration
     mr = MeshRegistration()
     mr.verbose = args.verbose
+    mr.debug = args.debug
     mr.outdir = args.out
     if not args.inmesh:
         print("error: --inmesh is required", file=sys.stderr)

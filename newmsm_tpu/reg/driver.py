@@ -43,6 +43,7 @@ class MeshRegistration:
         self.surf_format = ".surf.gii"
         self.data_format = ".func.gii"
         self.verbose = False
+        self.debug = False
         self.energy_log: list = []
 
     # ---- inputs ----------------------------------------------------------
@@ -281,6 +282,13 @@ class MeshRegistration:
             cfw = self._combine_weighting()
             model.source = self.sph_reg      # reset_meshspace
             s = model.setup_iteration(cfw)
+
+            if self.debug:
+                # per-iteration mesh dumps (DiscreteModel.cpp:234-240)
+                self.sph_reg.save(self._out(f"SOURCE-{self.level}-{it}.surf.gii"))
+                model.cp_grid.save(self._out(f"CPgrid-{self.level}-{it}.surf.gii"))
+                if it == 0:
+                    model.target.save(self._out(f"TARGET-{self.level}.surf.gii"))
 
             dopt = cfg.dopt
             labeling = jnp.asarray(model.labeling)

@@ -258,3 +258,47 @@ def project_anatomical_mesh(orig: Mesh, target: Mesh, anat: Mesh) -> Mesh:
     newp = apply_weights(idx, w, jnp.asarray(src.coords.T, jnp.float32)).T
     return Mesh(coords=np.asarray(newp, np.float64), faces=orig.faces,
                 data=None if orig.data is None else orig.data.copy())
+
+
+# --------------------------------------------------------------------------
+# batched label-deformed resampling (groupwise hot path)
+# --------------------------------------------------------------------------
+
+def vertex_areas_kernel(coords, faces, tri_idx):
+    """compute_vertex_area on device: mean incident face area per vertex."""
+    v0 = coords[faces[:, 0]]
+    v1 = coords[faces[:, 1]]
+    v2 = coords[faces[:, 2]]
+    areas = 0.5 * jnp.linalg.norm(jnp.cross(v1 - v0, v2 - v0), axis=-1)
+    g = areas[jnp.clip(tri_idx, 0, areas.shape[0] - 1)] * (tri_idx >= 0)
+    return g.sum(axis=1) / jnp.maximum((tri_idx >= 0).sum(axis=1), 1)
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def label_deformed_maps(dg_coords, dg_data, dg_faces, dg_tri_idx,
+                        dg_ring_faces, dg_ring_verts, labels, centre,
+                        tmpl_tables: SearchTables, tmpl_vareas, cap: int = 16):
+    """(get_patch_data resampling stage, DiscreteGroupModel.cpp:88-121):
+    for each label l, displace every data-grid vertex x to
+    R(centre->x) @ label_l and adaptive-barycentric resample the data onto
+    the template. One jitted call per subject — vmappable/shardable over a
+    leading subject axis.
+
+    dg_coords (N,3), dg_data (D,N), labels (L,3) -> (L, D, Nt).
+    """
+    from ..core import spherical as sphm
+
+    rots = sphm.rodrigues(jnp.broadcast_to(centre, dg_coords.shape), dg_coords)
+    deformed = jnp.einsum("nij,lj->lni", rots, labels)           # (L,N,3)
+
+    def one_label(coords_l):
+        in_tables = SearchTables(coords=coords_l, faces=dg_faces,
+                                 ring_faces=dg_ring_faces,
+                                 ring_verts=dg_ring_verts)
+        in_vareas = vertex_areas_kernel(coords_l, dg_faces, dg_tri_idx)
+        idx, w = adaptive_weights(coords_l, tmpl_tables.coords, in_tables,
+                                  tmpl_tables, in_vareas, tmpl_vareas,
+                                  None, cap=cap)
+        return apply_weights(idx, w, dg_data)                    # (D,Nt)
+
+    return jax.lax.map(one_label, deformed)                      # (L,D,Nt)

@@ -258,24 +258,31 @@ class GroupMeshRegistration:
                     spacings=jnp.asarray(spacings, jnp.float32), maps=maps)
 
     def _label_maps(self, lbl):
+        """(S,L,D,Nt) label-deformed template maps — one jitted kernel per
+        subject (vmappable/shardable over subjects; the heaviest per-iteration
+        stage, SURVEY §2.7)."""
+        import jax as _jax
+        from ..ops.resample import label_deformed_maps, vertex_areas_kernel
+        from ..ops.nearest import build_tables as _bt
+
         S = len(self.meshes)
-        L = lbl.shape[0]
+        dg0 = self.sph_reg[0]
+        _, _, dg_tri_idx, _ = dg0.adjacency
+        dg_tables = _bt(dg0.coords, dg0.faces, dg_tri_idx)
+        tmpl_t = self.template_tables
+        tmpl_vareas = jnp.asarray(self.template.vertex_area(), jnp.float32)
+        cap = rsp._adaptive_cap(dg0.nvertices, self.template.nvertices)
+
         out = []
         for s in range(S):
-            dg = self.sph_reg[s]
-            dat = self.feat.data[s]
-            coords = jnp.asarray(dg.coords, jnp.float32)
-            rots = sph.rodrigues(
-                jnp.broadcast_to(self.centre, coords.shape), coords)
-            per_label = []
-            for l in range(L):
-                deformed = np.asarray(jnp.einsum("nij,j->ni", rots, lbl[l]))
-                carrier = Mesh(coords=deformed.astype(np.float64),
-                               faces=dg.faces, data=dat)
-                res, _ = rsp.metric_resample(carrier, self.template)
-                per_label.append(res.data)
-            out.append(np.stack(per_label))
-        return jnp.asarray(np.stack(out), jnp.float32)   # (S,L,D,Nt)
+            coords = jnp.asarray(self.sph_reg[s].coords, jnp.float32)
+            data = jnp.asarray(self.feat.data[s], jnp.float32)
+            maps = label_deformed_maps(
+                coords, data, dg_tables.faces, jnp.asarray(dg_tri_idx),
+                dg_tables.ring_faces, dg_tables.ring_verts, lbl, self.centre,
+                tmpl_t, tmpl_vareas, cap=cap)
+            out.append(maps)
+        return jnp.stack(out)                            # (S,L,D,Nt)
 
     # ---- cost callbacks --------------------------------------------------
     def _triplet_combo_fn(self, state):

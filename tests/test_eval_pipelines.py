@@ -112,3 +112,24 @@ class TestResampleTools:
         assert rc == 0
         w = Mesh.load(str(tmp_path / "w.surf.gii"))
         np.testing.assert_allclose(w.coords, sphere.coords @ R.T, atol=0.6)
+
+
+class TestReports:
+    def test_csv_roundtrip_and_plot(self, tmp_path):
+        from newmsm_tpu.eval import reports
+        stats = {"A": {"cc": 0.8, "dice": 0.6, "areal_mean": 0.2,
+                       "areal_max": 1.0, "areal_95": 0.5, "areal_98": 0.6,
+                       "shape_mean": 0.4, "shape_max": 1.5},
+                 "B": {"cc": 0.7, "dice": 0.5, "areal_mean": 0.3,
+                       "areal_max": 1.2, "areal_95": 0.6, "areal_98": 0.7,
+                       "shape_mean": 0.5, "shape_max": 1.8}}
+        p = str(tmp_path / "stats.csv")
+        reports.group_stats_csv(stats, p)
+        back = reports.read_group_stats_csv(p)
+        assert back["A"]["cc"] == pytest.approx(0.8)
+        rng = np.random.default_rng(0)
+        png = str(tmp_path / "dist.png")
+        reports.plot_distortions(
+            {"A": [rng.normal(size=100)], "B": [rng.normal(size=100)]}, png)
+        import os
+        assert os.path.getsize(png) > 1000

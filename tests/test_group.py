@@ -81,3 +81,40 @@ class TestGroupwise:
         cfg.cost = ["RIGID"]
         with pytest.raises(ValueError):
             gmr.run_multiresolutions(cfg)
+
+
+class TestGroupExtras:
+    def test_group_mask_weighting(self):
+        meshes, datasets = make_group(2, degrees=6.0)
+        gmr = GroupMeshRegistration()
+        gmr.set_inputs(meshes)
+        gmr.set_data_list(datasets)
+        tmpl = Mesh.from_icosphere(3)
+        gmr.set_template(tmpl)
+        mask = (tmpl.coords[:, 2] < 0).astype(float)
+        gmr.set_mask(mask)
+        import tempfile
+        gmr.outdir = tempfile.mkdtemp() + "/"
+        gmr.run_multiresolutions(group_config(iters=2))
+        assert len(gmr.transformed_data) == 2
+
+    def test_group_two_levels(self):
+        meshes, datasets = make_group(2, degrees=6.0, res=4)
+        cfg = group_config(iters=2)
+        cfg.cost = ["DISCRETE", "DISCRETE"]
+        cfg.simval = [2, 2]; cfg.iters = [2, 2]
+        cfg.sigma_in = [0.0, 0.0]; cfg.sigma_ref = [0.0, 0.0]
+        cfg.reglambda = [0.1, 0.1]
+        cfg.datagrid = [3, 4]; cfg.cpgrid = [1, 2]
+        cfg.sampgrid = [3, 4]; cfg.anatgrid = [3, 4]
+        cfg.mciters = [50, 50]
+        gmr = GroupMeshRegistration()
+        gmr.set_inputs(meshes)
+        gmr.set_data_list(datasets)
+        gmr.set_template(Mesh.from_icosphere(4))
+        import tempfile
+        gmr.outdir = tempfile.mkdtemp() + "/"
+        gmr.run_multiresolutions(cfg)
+        before = mean_pairwise_corr(datasets)
+        after = mean_pairwise_corr(gmr.transformed_data)
+        assert after > before, (before, after)

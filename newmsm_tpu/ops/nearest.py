@@ -39,6 +39,10 @@ class SearchTables(NamedTuple):
     ring_faces: jax.Array  # (N,C) i32 — faces within the 2-ring of vertex,
     #                        padded with the first entry
     ring_verts: jax.Array  # (N,C,3) i32 — faces[ring_faces], precomputed
+    descent: tuple = ()    # icosphere-hierarchy descent tables: per refinement
+    #                        step an (n_r, Cd) i32 table of level-(r+1)
+    #                        candidate vertex ids (3-ring BFS, self-padded).
+    #                        Empty for non-icosphere meshes -> dense search.
 
 
 @functools.lru_cache(maxsize=None)
@@ -80,6 +84,43 @@ def _build_ring_faces(nbr_idx: np.ndarray, tri_idx: np.ndarray) -> np.ndarray:
     return out
 
 
+_DESCENT_BASE_RES = 2      # dense stage over the first 162 vertices
+_DESCENT_DEPTH = 3         # BFS ring depth of each refinement candidate set
+
+
+@functools.lru_cache(maxsize=None)
+def _descent_table(level: int) -> np.ndarray:
+    """(n_{level-1}, Cd) candidate table for refining a nearest-vertex result
+    from icosphere level-1 to `level`: for each coarse vertex (ids are a
+    prefix of the fine ids), the fine vertices within `_DESCENT_DEPTH` edges
+    of it on the fine mesh, self-padded. Depth 3 covers ~1.5x the coarse
+    spacing — a wide margin over the ~0.87x worst case for Voronoi-exact
+    refinement, absorbing smooth mesh deformation."""
+    from ..core.icosphere import icosphere
+    fine = icosphere(level)
+    n_coarse = icosphere(level - 1).nvertices
+    nbr = fine.nbr_idx
+    rows = []
+    for v in range(n_coarse):
+        seen = {v}
+        frontier = [v]
+        for _ in range(_DESCENT_DEPTH):
+            nxt = []
+            for a in frontier:
+                for b in nbr[a]:
+                    if b >= 0 and int(b) not in seen:
+                        seen.add(int(b))
+                        nxt.append(int(b))
+            frontier = nxt
+        rows.append(sorted(seen))
+    cmax = max(len(r) for r in rows)
+    out = np.empty((n_coarse, cmax), np.int32)
+    for v, r in enumerate(rows):
+        out[v, : len(r)] = r
+        out[v, len(r):] = v
+    return out
+
+
 def build_tables(coords, faces, tri_idx=None, dtype=jnp.float32) -> SearchTables:
     """Host-side table prep (topology only; coordinates may be deformed)."""
     from ..core.icosphere import _NVERT_TO_RES, build_adjacency, icosphere
@@ -87,8 +128,12 @@ def build_tables(coords, faces, tri_idx=None, dtype=jnp.float32) -> SearchTables
     faces = np.asarray(faces, dtype=np.int32)
 
     res = _NVERT_TO_RES.get(coords.shape[0])
+    descent: tuple = ()
     if res is not None and np.array_equal(icosphere(res).faces, faces):
         ring = _icosphere_ring_faces(res)
+        if res > _DESCENT_BASE_RES:
+            descent = tuple(jnp.asarray(_descent_table(r))
+                            for r in range(_DESCENT_BASE_RES + 1, res + 1))
     else:
         nbr_idx, _, ti, _ = build_adjacency(faces, coords.shape[0])
         ring = _build_ring_faces(nbr_idx, ti)
@@ -98,6 +143,7 @@ def build_tables(coords, faces, tri_idx=None, dtype=jnp.float32) -> SearchTables
         faces=jnp.asarray(faces),
         ring_faces=jnp.asarray(ring),
         ring_verts=jnp.asarray(faces[ring]),       # (N,C,3)
+        descent=descent,
     )
 
 
@@ -141,12 +187,23 @@ def _select(qc, cand_tri, tv, vc, rad):
 
 @functools.partial(jax.jit, static_argnames=("chunk", "rad"))
 def _search(query, tables: SearchTables, chunk: int = 4096, rad: float = 100.0):
-    """Full search: (tri (Q,), tv (Q,3), vc (Q,3,3))."""
+    """Full search: (tri (Q,), tv (Q,3), vc (Q,3,3)).
+
+    Nearest-vertex stage: dense fused distance-matmul + argmax over all N
+    target vertices, or — for icosphere targets — a coarse-to-fine descent
+    (dense over the 162 level-2 vertices, then 3-ring refinement per
+    subdivision level), which does ~30x less VPU work at ico-5."""
     q = query.astype(tables.coords.dtype)
     Q = q.shape[0]
     coords = tables.coords
-    sq = jnp.sum(coords * coords, axis=1)
     rc = _candidate_coord_table(tables)            # (N,C,3,3)
+
+    n_dense = tables.descent[0].shape[0] if tables.descent else coords.shape[0]
+    dense_c = coords[:n_dense]
+    sq = jnp.sum(dense_c * dense_c, axis=1)
+    # per-call candidate coordinate tables for each refinement step
+    # (row gathers beat element gathers ~10x on TPU)
+    ref_coords = tuple(coords[d] for d in tables.descent)   # (n_r,Cd,3)
 
     pad = (-Q) % chunk
     qp = jnp.pad(q, ((0, pad), (0, 0)))
@@ -155,13 +212,30 @@ def _search(query, tables: SearchTables, chunk: int = 4096, rad: float = 100.0):
     # lane-align the reduction axis: argmax over a non-128-multiple axis
     # triggers a pathologically slow TPU codegen path (hundreds of seconds
     # to compile); padding with -inf is free
-    npad = (-coords.shape[0]) % 128
+    npad = (-n_dense) % 128
     neg_inf = jnp.asarray(-jnp.inf, coords.dtype)
 
     def body(qc):
-        scores = 2.0 * (qc @ coords.T) - sq[None, :]
+        # the score form is matmul-friendly but carries ~1e-3 absolute f32
+        # noise at RAD=100 (values ~1e4): near Voronoi boundaries it can pick
+        # a wrong vertex, so every path below re-ranks candidates with EXACT
+        # (small-difference) squared distances
+        scores = 2.0 * (qc @ dense_c.T) - sq[None, :]
         scores = jnp.pad(scores, ((0, 0), (0, npad)), constant_values=neg_inf)
-        nn = jnp.argmax(scores, axis=1)            # exact nearest vertex
+        nn = jnp.argmax(scores, axis=1)            # nearest (coarse) vertex
+        for d, cc_tab in zip(tables.descent, ref_coords):
+            cand = d[nn]                           # (c,Cd) row gather
+            cc = cc_tab[nn]                        # (c,Cd,3) row gather
+            d2 = jnp.sum((qc[:, None, :] - cc) ** 2, axis=-1)
+            sel = jnp.argmin(d2, axis=1)
+            nn = jnp.take_along_axis(cand, sel[:, None], axis=1)[:, 0]
+        if not tables.descent:
+            # dense fallback: one exact-distance re-rank over the 2-ring
+            cand = tables.ring_verts[nn].reshape(qc.shape[0], -1)  # (c,3C)
+            cc = coords[cand]
+            d2 = jnp.sum((qc[:, None, :] - cc) ** 2, axis=-1)
+            sel = jnp.argmin(d2, axis=1)
+            nn = jnp.take_along_axis(cand, sel[:, None], axis=1)[:, 0]
         cand = tables.ring_faces[nn]               # (c,C) row gather
         tv = tables.ring_verts[nn]                 # (c,C,3) row gather
         vc = rc[nn]                                # (c,C,3,3) row gather

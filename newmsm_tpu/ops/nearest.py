@@ -22,8 +22,8 @@ result while being a dense, gather-light pipeline.
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +32,13 @@ import numpy as np
 from ..core import spherical as sph
 
 
-class SearchTables(NamedTuple):
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["coords", "faces", "ring_faces", "ring_verts", "descent"],
+    meta_fields=["pristine_res"],
+)
+@dataclasses.dataclass(frozen=True)
+class SearchTables:
     """Device-resident target-mesh tables for nearest search."""
     coords: jax.Array      # (N,3) f32
     faces: jax.Array       # (T,3) i32
@@ -43,6 +49,12 @@ class SearchTables(NamedTuple):
     #                        step an (n_r, Cd) i32 table of level-(r+1)
     #                        candidate vertex ids (3-ring BFS, self-padded).
     #                        Empty for non-icosphere meshes -> dense search.
+    pristine_res: int = -1  # static: >=0 when coords ARE the pristine
+    #                        icosphere at this resolution (uniform radius) —
+    #                        enables the gather-free analytic locate
+
+    def _replace(self, **kw) -> "SearchTables":
+        return dataclasses.replace(self, **kw)
 
 
 @functools.lru_cache(maxsize=None)
@@ -121,6 +133,204 @@ def _descent_table(level: int) -> np.ndarray:
     return out
 
 
+@functools.lru_cache(maxsize=1)
+def _base_face_tables():
+    """Static tables for the analytic locate: base-face corner coords
+    (20,3,3) in face vertex order, and inward edge normals (20,3,3) such
+    that a unit point u lies in base face f iff all three dot(u, n) >= 0."""
+    from ..core.icosphere import icosphere
+    ico0 = icosphere(0)
+    c = ico0.coords[ico0.faces]                     # (20,3,3) unit
+    n01 = np.cross(c[:, 0], c[:, 1])
+    n12 = np.cross(c[:, 1], c[:, 2])
+    n20 = np.cross(c[:, 2], c[:, 0])
+    nrm = np.stack([n01, n12, n20], axis=1)         # (20,3,3)
+    # orient inward (towards the opposite corner)
+    opp = np.stack([c[:, 2], c[:, 0], c[:, 1]], axis=1)
+    sgn = np.sign(np.sum(nrm * opp, axis=-1, keepdims=True))
+    nrm = nrm * sgn / np.linalg.norm(nrm, axis=-1, keepdims=True)
+    return (np.ascontiguousarray(c, np.float32),
+            np.ascontiguousarray(nrm, np.float32))
+
+
+def _locate_pristine_soa(ux, uy, uz, res: int):
+    """Gather-free point location on a PRISTINE icosphere: descend the 4-way
+    subdivision tree with in-register midpoint math. The reference's octree
+    answers the same query with a pointer walk (octree.cpp:156-214); on a
+    pristine sphere the containing face is determined by pure arithmetic —
+    the subdivision emits children at 4*f+k (icosphere._retessellate), so no
+    lineage tables are needed.
+
+    Structure-of-arrays: every vector is three same-shape component arrays,
+    so all math is lane-aligned elementwise VPU work (an (...,3) layout would
+    waste 125/128 lanes).
+
+    ux/uy/uz: (...) unit query components (central projection).
+    Returns (fid (...), corners: 3 tuples (x,y,z) of (...) arrays for the
+    face's vertices in face vertex order, unit radius).
+    """
+    bc, bn = _base_face_tables()
+    dt = ux.dtype
+    shape = ux.shape
+    uxf, uyf, uzf = (a.reshape(-1, 1) for a in (ux, uy, uz))
+
+    # base face: argmax over the 20 faces of min-over-3-edges inward dot
+    nx = jnp.asarray(bn[..., 0], dt)               # (20,3)
+    ny = jnp.asarray(bn[..., 1], dt)
+    nz = jnp.asarray(bn[..., 2], dt)
+    smin = None
+    for e in range(3):
+        s = uxf * nx[:, e] + uyf * ny[:, e] + uzf * nz[:, e]   # (c,20)
+        smin = s if smin is None else jnp.minimum(smin, s)
+    neg = jnp.asarray(-jnp.inf, dt)
+    smin = jnp.pad(smin, ((0, 0), (0, 108)), constant_values=neg)
+    fid = jnp.argmax(smin, axis=1).astype(jnp.int32)           # (c,)
+
+    onehot = jax.nn.one_hot(fid, 20, dtype=dt)                 # (c,20)
+    corners = onehot @ jnp.asarray(bc.reshape(20, 9), dt)      # (c,9)
+    ux, uy, uz = uxf[:, 0], uyf[:, 0], uzf[:, 0]
+
+    def level(state, _):
+        # One subdivision step. MUST be a lax.scan body: the carry forces the
+        # (fid, corners) pair to materialise between levels. In a fused/
+        # unrolled form XLA recomputes the boundary predicates per consumer
+        # with different FMA rounding, and for exactly-on-boundary queries
+        # fid and the carried corners then take DIFFERENT branches
+        # (desynchronised face id vs corner coords -> garbage weights);
+        # optimization_barrier does NOT prevent this on the CPU backend.
+        fid, c = state
+        vax, vay, vaz = c[:, 0], c[:, 1], c[:, 2]
+        vbx, vby, vbz = c[:, 3], c[:, 4], c[:, 5]
+        vcx, vcy, vcz = c[:, 6], c[:, 7], c[:, 8]
+
+        def mid(ax, ay, az, bx, by, bz):
+            x, y, z = ax + bx, ay + by, az + bz
+            inv = jax.lax.rsqrt(x * x + y * y + z * z)
+            return x * inv, y * inv, z * inv
+
+        m01 = mid(vax, vay, vaz, vbx, vby, vbz)
+        m12 = mid(vbx, vby, vbz, vcx, vcy, vcz)
+        m02 = mid(vax, vay, vaz, vcx, vcy, vcz)
+
+        # child k of face f is emitted at 4f+k with
+        #   k=0 centre (m01,m12,m02), k=1 corner v0 (m02,v0,m01),
+        #   k=2 corner v2 (m12,v2,m02), k=3 corner v1 (m01,v1,m12)
+        # (core/icosphere._retessellate; mesh.cpp:929-986)
+        def cross(a, b):
+            return (a[1] * b[2] - a[2] * b[1],
+                    a[2] * b[0] - a[0] * b[2],
+                    a[0] * b[1] - a[1] * b[0])
+
+        def side(n, px, py, pz):
+            # u on the same side of the plane (origin, n) as point p
+            t = ux * n[0] + uy * n[1] + uz * n[2]
+            r = px * n[0] + py * n[1] + pz * n[2]
+            return t * r > 0
+
+        na = cross(m01, m02)
+        nb = cross(m01, m12)
+        nc = cross(m12, m02)
+        in_a = side(na, vax, vay, vaz)
+        in_b = side(nb, vbx, vby, vbz)
+        in_c = side(nc, vcx, vcy, vcz)
+
+        k = jnp.where(in_a, 1,
+                      jnp.where(in_b, 3,
+                                jnp.where(in_c, 2, 0))).astype(jnp.int32)
+        is_a, is_b, is_c = k == 1, k == 3, k == 2
+        fid = 4 * fid + k
+
+        def sel4(a_val, b_val, c_val, ctr):
+            return jnp.where(is_a, a_val, jnp.where(is_b, b_val,
+                             jnp.where(is_c, c_val, ctr)))
+
+        new_a = tuple(sel4(m02[i], m01[i], m12[i], m01[i]) for i in range(3))
+        new_b = tuple(sel4((vax, vay, vaz)[i], (vbx, vby, vbz)[i],
+                           (vcx, vcy, vcz)[i], m12[i]) for i in range(3))
+        new_c = tuple(sel4(m01[i], m12[i], m02[i], m02[i]) for i in range(3))
+        return (fid, jnp.stack(new_a + new_b + new_c, axis=1)), None
+
+    if res > 0:
+        (fid, corners), _ = jax.lax.scan(level, (fid, corners), None,
+                                         length=res)
+    rs = lambda a: a.reshape(shape)
+    return (rs(fid),
+            (rs(corners[:, 0]), rs(corners[:, 1]), rs(corners[:, 2])),
+            (rs(corners[:, 3]), rs(corners[:, 4]), rs(corners[:, 5])),
+            (rs(corners[:, 6]), rs(corners[:, 7]), rs(corners[:, 8])))
+
+
+def _bary_weights_soa(u, va, vb, vc):
+    """Barycentric weights of unit point u wrt unit-triangle (va,vb,vc),
+    matching calc_barycentric_weights (triangle.cpp:124-143): scale u along
+    its ray onto the triangle plane, then sub-areas. All args are (x,y,z)
+    component tuples; returns (w0,w1,w2)."""
+    def cross(a, b):
+        return (a[1] * b[2] - a[2] * b[1],
+                a[2] * b[0] - a[0] * b[2],
+                a[0] * b[1] - a[1] * b[0])
+
+    def dot(a, b):
+        return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+    def sub(a, b):
+        return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+    n = cross(sub(vc, va), sub(vb, va))
+    denom = dot(n, u)
+    denom = jnp.where(jnp.abs(denom) > 0, denom, 1.0)
+    si = dot(n, va) / denom
+    pp = (u[0] * si, u[1] * si, u[2] * si)
+
+    def area(a, b, c):
+        cr = cross(sub(b, a), sub(c, a))
+        return 0.5 * jnp.sqrt(dot(cr, cr))
+
+    aa = area(pp, vb, vc)
+    ab = area(pp, va, vc)
+    ac = area(pp, va, vb)
+    total = aa + ab + ac
+    total = jnp.where(total > 0, total, 1.0)
+    return aa / total, ab / total, ac / total
+
+
+def _locate_pristine(qc, res: int):
+    """AoS wrapper over the SoA locate: qc (c,3) -> (tri (c,), corners
+    (c,3,3) unit radius, face vertex order)."""
+    u = sph.normalize(qc)
+    fid, a, b, c = _locate_pristine_soa(u[:, 0], u[:, 1], u[:, 2], res)
+    corners = jnp.stack([jnp.stack(a, -1), jnp.stack(b, -1),
+                         jnp.stack(c, -1)], axis=1)
+    return fid, corners
+
+
+def resample_pristine_soa(px, py, pz, tables: SearchTables, data):
+    """Fused pristine-icosphere resample: locate + barycentric weights +
+    face-major data gather, fully SoA (metric_resample's inner loop,
+    resampler.cpp:30-70, for the undeformed-target case).
+
+    px/py/pz: (...) query components (any radius), data (D,N) -> (..., D)."""
+    shape = px.shape
+    px, py, pz = px.reshape(-1), py.reshape(-1), pz.reshape(-1)
+    inv = jax.lax.rsqrt(px * px + py * py + pz * pz)
+    u = (px * inv, py * inv, pz * inv)
+
+    fid, va, vb, vc = _locate_pristine_soa(*u, tables.pristine_res)
+    w0, w1, w2 = _bary_weights_soa(u, va, vb, vc)
+
+    face_data = data.T[tables.faces]                 # (T,3,D)
+    vals = face_data[fid]                            # (Q,3,D) row gather
+    out = (vals[:, 0] * w0[:, None] + vals[:, 1] * w1[:, None]
+           + vals[:, 2] * w2[:, None])
+    return out.reshape(shape + (data.shape[0],))
+
+
+def resample_pristine(points, tables: SearchTables, data):
+    """AoS wrapper over resample_pristine_soa: points (...,3) -> (..., D)."""
+    return resample_pristine_soa(points[..., 0], points[..., 1],
+                                 points[..., 2], tables, data)
+
+
 def build_tables(coords, faces, tri_idx=None, dtype=jnp.float32) -> SearchTables:
     """Host-side table prep (topology only; coordinates may be deformed)."""
     from ..core.icosphere import _NVERT_TO_RES, build_adjacency, icosphere
@@ -129,11 +339,15 @@ def build_tables(coords, faces, tri_idx=None, dtype=jnp.float32) -> SearchTables
 
     res = _NVERT_TO_RES.get(coords.shape[0])
     descent: tuple = ()
+    pristine_res = -1
     if res is not None and np.array_equal(icosphere(res).faces, faces):
         ring = _icosphere_ring_faces(res)
         if res > _DESCENT_BASE_RES:
             descent = tuple(jnp.asarray(_descent_table(r))
                             for r in range(_DESCENT_BASE_RES + 1, res + 1))
+        rad = float(np.linalg.norm(coords[0]))
+        if np.abs(coords - icosphere(res).coords * rad).max() < 1e-4 * rad:
+            pristine_res = res
     else:
         nbr_idx, _, ti, _ = build_adjacency(faces, coords.shape[0])
         ring = _build_ring_faces(nbr_idx, ti)
@@ -144,6 +358,7 @@ def build_tables(coords, faces, tri_idx=None, dtype=jnp.float32) -> SearchTables
         ring_faces=jnp.asarray(ring),
         ring_verts=jnp.asarray(faces[ring]),       # (N,C,3)
         descent=descent,
+        pristine_res=pristine_res,
     )
 
 
@@ -178,7 +393,11 @@ def _select(qc, cand_tri, tv, vc, rad):
     d_fb = jnp.minimum(vdist(v0), jnp.minimum(vdist(v1), vdist(v2)))
     best_fb = jnp.argmin(d_fb, axis=1)
 
-    sel = jnp.where(found, best_in, best_fb)[:, None]
+    # barrier: sel feeds three gathers (tri/tv/vc) that must stay consistent;
+    # XLA recomputing the argmin per consumer could desynchronise them at
+    # tie-distance candidates
+    sel = jax.lax.optimization_barrier(
+        jnp.where(found, best_in, best_fb))[:, None]
     tri = jnp.take_along_axis(cand_tri, sel, axis=1)[:, 0]
     tv_sel = jnp.take_along_axis(tv, sel[..., None], axis=1)[:, 0]
     vc_sel = jnp.take_along_axis(vc, sel[..., None, None], axis=1)[:, 0]
@@ -196,6 +415,21 @@ def _search(query, tables: SearchTables, chunk: int = 4096, rad: float = 100.0):
     q = query.astype(tables.coords.dtype)
     Q = q.shape[0]
     coords = tables.coords
+
+    if tables.pristine_res >= 0:
+        # pristine icosphere target: analytic locate, no candidate testing
+        rad_t = jnp.linalg.norm(coords[0])
+        pad = (-Q) % chunk
+        qs = jnp.pad(q, ((0, pad), (0, 0))).reshape(-1, chunk, 3)
+
+        def body_p(qc):
+            tri, corners = _locate_pristine(qc, tables.pristine_res)
+            return tri, tables.faces[tri], corners * rad_t
+
+        tri, tv, vc = jax.lax.map(body_p, qs)
+        return (tri.reshape(-1)[:Q], tv.reshape(-1, 3)[:Q],
+                vc.reshape(-1, 3, 3)[:Q])
+
     rc = _candidate_coord_table(tables)            # (N,C,3,3)
 
     n_dense = tables.descent[0].shape[0] if tables.descent else coords.shape[0]

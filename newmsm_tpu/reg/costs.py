@@ -84,10 +84,14 @@ def _resample_target(points, tables: SearchTables, target_data):
     """Barycentric-interpolate target data at `points` (...,3).
     Returns (..., D).
 
-    Data is gathered face-major — one contiguous (3*D)-float row per query —
-    because TPU row gathers sustain ~10x the bandwidth of per-vertex element
-    gathers. The face-major table is built once per call (T rows)."""
-    from ..ops.nearest import _search
+    Pristine-icosphere targets take the fused SoA locate path (zero search
+    gathers); deformed targets fall back to the hierarchical search. Data is
+    gathered face-major — one contiguous (3*D)-float row per query — because
+    TPU row gathers sustain ~10x the bandwidth of per-vertex element
+    gathers."""
+    from ..ops.nearest import _search, resample_pristine
+    if tables.pristine_res >= 0:
+        return resample_pristine(points, tables, target_data)
     shape = points.shape[:-1]
     flat = points.reshape(-1, 3)
     tri, _, vc = _search(flat, tables)
@@ -131,8 +135,21 @@ def unary_costs(cp_coords, rl, src_coords, patch_idx, patch_mask,
 
     def per_lchunk(rot_c):
         # rot_c: (K,lc,3,3)
-        rpts = jnp.einsum("klij,kpj->klpi", rot_c, pts)
-        tgt = _resample_target(rpts, tables, target_data)      # (K,lc,P,D)
+        if tables.pristine_res >= 0:
+            # SoA rotate + fused resample: all arrays (K,lc,P) keep the
+            # patch axis on the 128-wide lane dimension
+            from ..ops.nearest import resample_pristine_soa
+            px = pts[:, None, :, 0]
+            py = pts[:, None, :, 1]
+            pz = pts[:, None, :, 2]
+            r = rot_c[..., None]                               # (K,lc,3,3,1)
+            qx = r[:, :, 0, 0] * px + r[:, :, 0, 1] * py + r[:, :, 0, 2] * pz
+            qy = r[:, :, 1, 0] * px + r[:, :, 1, 1] * py + r[:, :, 1, 2] * pz
+            qz = r[:, :, 2, 0] * px + r[:, :, 2, 1] * py + r[:, :, 2, 2] * pz
+            tgt = resample_pristine_soa(qx, qy, qz, tables, target_data)
+        else:
+            rpts = jnp.einsum("klij,kpj->klpi", rot_c, pts)
+            tgt = _resample_target(rpts, tables, target_data)  # (K,lc,P,D)
         if mode == "univariate":
             a = jnp.broadcast_to(src_patch[0][:, None, :], tgt.shape[:3])
             b = tgt[..., 0]

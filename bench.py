@@ -91,19 +91,43 @@ def make_fn(inp, device):
 
 
 def time_fn(fn, args, iters=5):
-    # sync via a scalar reduction + host read: block_until_ready is
-    # unreliable on the experimental axon platform, and bulk host transfers
-    # ride a network tunnel so only 4 bytes may cross per call
+    """Per-volume device time, dispatch-floor-free.
+
+    The axon tunnel costs ~28 ms per host-synced dispatch, swamping the
+    ~20 ms kernel. Chain n volumes device-side inside one dispatch (a
+    fori_loop whose carry feeds each iteration so XLA can neither hoist nor
+    parallelise them — exactly how real registration iterations execute) and
+    difference two chain lengths to cancel the constant.
+    """
+    import jax
     import jax.numpy as jnp
 
-    def synced(*a):
-        return float(jnp.sum(fn(*a)))
+    cp0 = args[0]
 
-    synced(*args)                    # compile + warmup
-    t0 = time.perf_counter()
+    def chain(n):
+        @jax.jit
+        def run(*a):
+            def body(i, carry):
+                cp, acc = carry
+                s = jnp.sum(fn(cp, *a[1:]))
+                # s*1e-37 underflows to 0 in f32, so cp is unchanged, but the
+                # data dependency is real at compile time
+                return (cp + s * 1e-37, acc + s)
+            _, acc = jax.lax.fori_loop(0, n, body, (cp0, jnp.float32(0)))
+            return acc
+        return run
+
+    short, long_ = chain(2), chain(12)
+
+    def synced(f):
+        return float(f(*args))
+
+    synced(short), synced(long_)          # compile + warmup
+    t_s = t_l = 0.0
     for _ in range(iters):
-        synced(*args)
-    return (time.perf_counter() - t0) / iters
+        t0 = time.perf_counter(); synced(short); t_s += time.perf_counter() - t0
+        t0 = time.perf_counter(); synced(long_); t_l += time.perf_counter() - t0
+    return (t_l - t_s) / (10 * iters)
 
 
 def main():

@@ -287,10 +287,36 @@ def load_mesh(filename: str) -> Mesh:
     raise ValueError(f"unknown mesh format: {filename}")
 
 
-def load_data(filename: str, mesh: Mesh) -> np.ndarray:
+def read_spmat(filename: str) -> np.ndarray:
+    """FSL/MATLAB `spconvert` sparse-matrix text: one `row col value` triplet
+    per line (1-based), final line `nrows ncols 0` carrying the dimensions
+    (MISCMATHS::SpMat's file constructor, consumed by the reference's sparse
+    connectivity path, reg_tools.cpp:846-855). Returns the DENSE (R,C)
+    matrix — mirroring the reference's own caveat that densification "may
+    not be desirable ... if dimensions are v high"."""
+    trip = np.loadtxt(filename, comments="%", ndmin=2)
+    if trip.shape[1] != 3:
+        raise ValueError(f"{filename}: expected 3-column sparse triplets")
+    r, c, v = trip[:, 0].astype(int), trip[:, 1].astype(int), trip[:, 2]
+    nr, nc = int(r.max()), int(c.max())
+    out = np.zeros((nr, nc))
+    out[r - 1, c - 1] = v                     # dimension row writes 0 — ok
+    return out
+
+
+def load_data(filename: str, mesh: Mesh, sparse: bool = False) -> np.ndarray:
     """Load per-vertex data for an existing surface (reference set_data,
-    reg_tools.cpp:846-867): accepts GIFTI func/shape, dpv, txt matrix, asc.
-    Returns (D,N)."""
+    reg_tools.cpp:846-867): accepts GIFTI func/shape, dpv, txt matrix, asc;
+    `sparse=True` reads spconvert-format sparse connectivity instead
+    (the reference's `issparse` branch). Returns (D,N)."""
+    if sparse:
+        data = read_spmat(filename)
+        if data.shape[1] != mesh.nvertices:
+            if data.shape[0] == mesh.nvertices:
+                data = data.T
+            else:
+                raise ValueError("data does not match mesh dimensions")
+        return np.ascontiguousarray(data)
     t = _file_type(filename)
     if t == "GIFTI":
         _, _, rows = read_gifti(filename)

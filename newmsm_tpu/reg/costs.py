@@ -222,15 +222,34 @@ def triplet_combo_costs(rl, cp_coords, tables: LevelTables, la, lb, lc,
     return jnp.where(folded, FOLDING * reglambda, cost)
 
 
+def triplet_volume_arrays(rl, trip, cur, orig, reglambda, mu, kappa, k_exp,
+                          rexp):
+    """(Tc, L^3) strain cost block from explicit per-triplet arrays.
+    trip (Tc,3) CP vertex ids into rl; cur/orig (Tc,3,3) current/level-start
+    corner coords. Shardable over the leading axis."""
+    L = rl.shape[1]
+    la = jnp.repeat(jnp.arange(L), L * L)
+    lb = jnp.tile(jnp.repeat(jnp.arange(L), L), L)
+    lc = jnp.tile(jnp.arange(L), L * L)
+    va = rl[trip[:, 0][:, None], la[None, :]]
+    vb = rl[trip[:, 1][:, None], lb[None, :]]
+    vc = rl[trip[:, 2][:, None], lc[None, :]]
+    n_cur = sph.tri_normal(cur[:, 0], cur[:, 1], cur[:, 2])
+    n_def = sph.tri_normal(va, vb, vc)
+    folded = jnp.sum(n_def * n_cur[:, None, :], axis=-1) < 0.0
+    orig_b = jnp.broadcast_to(orig[:, None], va.shape[:2] + (3, 3))
+    deformed = jnp.stack([va, vb, vc], axis=-2)
+    strain = triangular_strain(orig_b, deformed, mu, kappa, k_exp)
+    cost = reglambda * jnp.power(strain, rexp)
+    return jnp.where(folded, FOLDING * reglambda, cost)
+
+
 @functools.partial(jax.jit, static_argnames=("tchunk",))
 def triplet_cost_volume(rl, cp_coords, tables: LevelTables, reglambda, mu,
                         kappa, k_exp, rexp, tchunk: int = 256):
     """Full (T, L, L, L) strain cost volume for MCMC, chunked over T."""
     L = rl.shape[1]
     T = tables.triplets.shape[0]
-    la = jnp.repeat(jnp.arange(L), L * L)
-    lb = jnp.tile(jnp.repeat(jnp.arange(L), L), L)
-    lc = jnp.tile(jnp.arange(L), L * L)
 
     pad = (-T) % tchunk
     trip_p = jnp.pad(tables.triplets, ((0, pad), (0, 0)))
@@ -239,17 +258,8 @@ def triplet_cost_volume(rl, cp_coords, tables: LevelTables, reglambda, mu,
 
     def body(args):
         t, cur, orig = args                            # (tc,3),(tc,3,3),(tc,3,3)
-        va = rl[t[:, 0][:, None], la[None, :]]
-        vb = rl[t[:, 1][:, None], lb[None, :]]
-        vc = rl[t[:, 2][:, None], lc[None, :]]
-        n_cur = sph.tri_normal(cur[:, 0], cur[:, 1], cur[:, 2])
-        n_def = sph.tri_normal(va, vb, vc)
-        folded = jnp.sum(n_def * n_cur[:, None, :], axis=-1) < 0.0
-        orig_b = jnp.broadcast_to(orig[:, None], va.shape[:2] + (3, 3))
-        deformed = jnp.stack([va, vb, vc], axis=-2)
-        strain = triangular_strain(orig_b, deformed, mu, kappa, k_exp)
-        cost = reglambda * jnp.power(strain, rexp)
-        return jnp.where(folded, FOLDING * reglambda, cost)
+        return triplet_volume_arrays(rl, t, cur, orig, reglambda, mu, kappa,
+                                     k_exp, rexp)
 
     n = trip_p.shape[0] // tchunk
     out = jax.lax.map(body, (trip_p.reshape(n, tchunk, 3),

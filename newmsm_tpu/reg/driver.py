@@ -59,12 +59,20 @@ class MeshRegistration:
         m.true_rescale(RAD)
         self.ref_mesh = m
 
+    def is_sparse(self, sp: bool = True):
+        """Input data files are spconvert-format sparse connectivity
+        matrices (mesh_registration.h:61; vestigial in the reference —
+        newmsm's CLI never sets it — kept for API parity)."""
+        self._issparse = bool(sp)
+
     def set_input_data(self, data: np.ndarray | str):
-        self.in_data = (mio.load_data(data, self.in_mesh)
+        self.in_data = (mio.load_data(data, self.in_mesh,
+                                      sparse=getattr(self, "_issparse", False))
                         if isinstance(data, str) else np.atleast_2d(data))
 
     def set_reference_data(self, data: np.ndarray | str):
-        self.ref_data = (mio.load_data(data, self.ref_mesh)
+        self.ref_data = (mio.load_data(data, self.ref_mesh,
+                                       sparse=getattr(self, "_issparse", False))
                          if isinstance(data, str) else np.atleast_2d(data))
 
     def set_transformed(self, mesh: Mesh | str):

@@ -195,3 +195,44 @@ class TestIO:
         m2 = Mesh.load(p)
         np.testing.assert_allclose(m2.coords, m.coords, atol=1e-5)
         np.testing.assert_array_equal(m2.faces, m.faces)
+
+
+class TestSparseData:
+    """spconvert-format sparse connectivity loading (read_spmat; reference
+    set_data issparse branch, reg_tools.cpp:846-855)."""
+
+    def test_round_trip(self, tmp_path):
+        import numpy as np
+        from newmsm_tpu.core.io import read_spmat, load_data
+        from newmsm_tpu.core.mesh import Mesh
+
+        m = Mesh.from_icosphere(0)            # 12 vertices
+        rng = np.random.default_rng(0)
+        dense = np.zeros((5, 12))
+        idx = rng.integers(0, 5, 20), rng.integers(0, 12, 20)
+        dense[idx] = rng.normal(size=20)
+        lines = [f"{r+1} {c+1} {dense[r, c]:.17g}"
+                 for r, c in zip(*np.nonzero(dense))]
+        lines.append("5 12 0")                # dimension row
+        p = tmp_path / "conn.txt"
+        p.write_text("\n".join(lines) + "\n")
+
+        got = read_spmat(str(p))
+        np.testing.assert_allclose(got, dense)
+        viadata = load_data(str(p), m, sparse=True)
+        assert viadata.shape == (5, 12)
+
+    def test_driver_setter(self, tmp_path):
+        import numpy as np
+        from newmsm_tpu.core.mesh import Mesh
+        from newmsm_tpu.reg.driver import MeshRegistration
+
+        m = Mesh.from_icosphere(0)
+        p = tmp_path / "conn.txt"
+        p.write_text("1 1 2.5\n2 12 -1.0\n3 12 0\n")
+        mr = MeshRegistration()
+        mr.set_input(m)
+        mr.is_sparse()
+        mr.set_input_data(str(p))
+        assert mr.in_data.shape == (3, 12)
+        assert mr.in_data[0, 0] == 2.5

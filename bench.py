@@ -21,10 +21,13 @@ import time
 
 import numpy as np
 
-# persistent compile cache: remote TPU compiles take minutes per program,
-# the cache makes repeat runs instant
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# persistent compile cache: remote TPU compiles take tens of seconds per
+# program; env vars are too late (the environment pre-imports jax), so use
+# the runtime config helper
+def _cache():
+    from newmsm_tpu.core.cache import enable_compile_cache
+    enable_compile_cache()
+_cache()
 
 
 def build_inputs():

@@ -44,6 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-f", "--format", default="GIFTI",
                    choices=["GIFTI", "VTK", "ASCII", "ASCII_MAT"])
     p.add_argument("-c", "--conf", default="", help="configuration file")
+    p.add_argument("--metrics", default="",
+                   help="write per-iteration JSONL metrics to this file")
     return p
 
 
@@ -62,6 +64,9 @@ def print_config_options():
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    from .core.cache import enable_compile_cache
+    enable_compile_cache()
 
     if args.printoptions:
         print_config_options()
@@ -86,6 +91,7 @@ def main(argv=None) -> int:
     from .reg.driver import MeshRegistration
     mr = MeshRegistration()
     mr.verbose = args.verbose
+    mr.metrics_path = args.metrics or None
     mr.debug = args.debug
     mr.outdir = args.out
     if not args.inmesh:

@@ -45,6 +45,16 @@ class MeshRegistration:
         self.verbose = False
         self.debug = False
         self.energy_log: list = []
+        self.metrics_path: Optional[str] = None   # JSONL per-iteration metrics
+
+    def _log_metrics(self, **kw):
+        """Structured observability (SURVEY §5): one JSON line per event —
+        energy, label-change %, stage wall-times — replacing the reference's
+        --verbose couts with something machine-readable."""
+        if self.metrics_path:
+            import json
+            with open(self.metrics_path, "a") as f:
+                f.write(json.dumps(kw) + "\n")
 
     # ---- inputs ----------------------------------------------------------
     def set_input(self, mesh: Mesh | str):
@@ -105,6 +115,7 @@ class MeshRegistration:
     def run_multiresolutions(self, config: RegConfig | str | None = None):
         cfg = config if isinstance(config, RegConfig) else parse_config(config)
         self.cfg = cfg
+        self.verbose = self.verbose or cfg.verbose
         if self.in_mesh is None or self.in_data is None:
             raise ValueError("input mesh and data must be set")
         if self.ref_mesh is None:
@@ -283,10 +294,12 @@ class MeshRegistration:
         return np.ones((1, n))
 
     def _run_discrete_opt(self, level: int):
+        import time as _time
         cfg = self.cfg
         model = self.model
         energy = 0.0
         for it in range(cfg.iters[level]):
+            t_setup = _time.perf_counter()
             cfw = self._combine_weighting()
             model.source = self.sph_reg      # reset_meshspace
             s = model.setup_iteration(cfw)
@@ -299,6 +312,7 @@ class MeshRegistration:
                     model.target.save(self._out(f"TARGET-{self.level}.surf.gii"))
 
             dopt = cfg.dopt
+            t_opt = _time.perf_counter()
             labeling = jnp.asarray(model.labeling)
             if dopt == "MCMC":
                 unary = (model.unary(s).T
@@ -344,11 +358,17 @@ class MeshRegistration:
                 raise ValueError(f"unknown optimiser {dopt}")
 
             labeling = np.asarray(labeling)
+            t_done = _time.perf_counter()
             self.energy_log.append((self.level, it, newenergy))
+            changed = float((labeling != 0).mean())
             if self.verbose:
-                changed = (labeling != 0).mean()
                 print(f"  iter {it}: energy {newenergy:.6f} "
-                      f"({changed:.0%} nodes moved)")
+                      f"({changed:.0%} nodes moved)  "
+                      f"[setup {t_opt - t_setup:.2f}s opt {t_done - t_opt:.2f}s]")
+            self._log_metrics(event="iter", level=self.level, iter=it,
+                              energy=newenergy, changed=changed,
+                              setup_s=round(t_opt - t_setup, 4),
+                              opt_s=round(t_done - t_opt, 4))
 
             # convergence (mesh_registration.cpp:206-214)
             if (it > 2 and (it - 1) % 2 == 0
@@ -363,6 +383,8 @@ class MeshRegistration:
             model.cp_grid = new_cp
             self.sph_reg = unfold(self.sph_reg, self.verbose)
             energy = newenergy
+            self._log_metrics(event="warp", level=self.level, iter=it,
+                              warp_s=round(_time.perf_counter() - t_done, 4))
 
     # ---- outputs ---------------------------------------------------------
     def _out(self, name: str) -> str:

@@ -240,10 +240,11 @@ class GroupMeshRegistration:
                 jnp.asarray(self.cp_grids[a].coords, jnp.float32), cp_tables[b]))
                 for b in range(S)]) for a in range(S)])   # (S_a, S_b, K)
         for a in range(S):
-            for v in range(K):
-                for b in range(a + 1, S):
-                    pairs.append((a * K + v, b * K + int(nearest[a, b, v])))
-        pairs = np.asarray(pairs, np.int32)
+            for b in range(a + 1, S):
+                pairs.append(np.stack([a * K + np.arange(K, dtype=np.int64),
+                                       b * K + nearest[a, b]], axis=1))
+        pairs = (np.concatenate(pairs).astype(np.int32) if pairs
+                 else np.zeros((0, 2), np.int32))
         # pair endpoints change every iteration (closest-CP matching), so the
         # fusion incidence/coloring tables are rebuilt with them
         self.fusion_tables = build_fusion_tables(self.full_triplets, S * K,

@@ -62,7 +62,13 @@ def run_gmsm(meshes: List[Mesh], datasets: List[np.ndarray], template: Mesh,
     gmr.set_data_list(datasets)
     gmr.set_template(template)
     gmr.verbose = verbose
-    gmr.outdir = outdir or "./"
+    if not outdir:
+        # never write intermediates into the caller's CWD
+        import tempfile
+        outdir_run = tempfile.mkdtemp(prefix="gmsm_") + "/"
+    else:
+        outdir_run = outdir
+    gmr.outdir = outdir_run
     gmr.run_multiresolutions(config)
 
     original = gmr.sph_orig

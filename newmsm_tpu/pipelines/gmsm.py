@@ -118,10 +118,13 @@ def run_gmsm(meshes: List[Mesh], datasets: List[np.ndarray], template: Mesh,
 
 
 def run_cgmsm(groups: dict, tree: List[tuple], datasets: dict, template: Mesh,
-              config: RegConfig | str | None, verbose: bool = False) -> dict:
+              config: RegConfig | str | None, verbose: bool = False,
+              dedrift_warps: bool = True) -> dict:
     """Hierarchical cgMSM (run_cgMSM_ver_gw_iter.sh): walk a binary tree of
     groups; at each internal node, groupwise-register the two children's MEAN
-    feature maps, then project all member subjects through the node's warp.
+    feature maps, dedrift the node's warps (the script's dedrifting phase,
+    run_cgMSM_ver_gw_iter.sh:68-107), then project all member subjects
+    through the node's (dedrifted) warp.
 
     groups: {group_id: [subject ids]}; tree: [(left, right, root), ...] in
     evaluation order; datasets: {subject id: (mesh, (D,N) data)}.
@@ -156,6 +159,8 @@ def run_cgmsm(groups: dict, tree: List[tuple], datasets: dict, template: Mesh,
 
         warped = pair.sph_reg                       # 2 data-grid warps
         original = pair.sph_orig
+        if dedrift_warps:
+            warped = dedrift(warped, original)
         merged_members = lm["members"] + rm["members"]
         merged_meshes = {}
         maps = []

@@ -159,9 +159,14 @@ class PairwiseModel:
         # AbsoluteWeights: max-over-dims of cfweights resampled to CP grid
         # (resample_weights, DiscreteCostFunction.cpp:303-323)
         absw_src = cfweights.max(axis=0)
-        carrier = Mesh(coords=self.source.coords, faces=self.source.faces,
-                       data=absw_src[None, :])
-        absw = rsp.metric_resample(carrier, self.cp_grid)[0].data[0]
+        if absw_src.min() == absw_src.max():
+            # uniform weighting (the default): resampling a constant field
+            # returns the constant — skip the per-iteration resample
+            absw = np.full(K, absw_src.flat[0])
+        else:
+            carrier = Mesh(coords=self.source.coords, faces=self.source.faces,
+                           data=absw_src[None, :])
+            absw = rsp.metric_resample(carrier, self.cp_grid)[0].data[0]
 
         s = dict(
             cp=cp, src=src, labels=lbl, rots=rots, rl=rl,

@@ -200,3 +200,71 @@ class TestResample:
         lo = Mesh.from_icosphere(2)
         out = rsp.surface_resample(anat, sph_orig, lo)
         np.testing.assert_allclose(np.linalg.norm(out.coords, axis=1), 70.0, rtol=1e-3)
+
+
+class TestPristineLocate:
+    """Analytic subdivision-descent point location (ops/nearest.py
+    _locate_pristine_soa) — including the fid/corner consistency guarantee
+    under jit for queries exactly on face boundaries (the lax.scan-carry
+    materialisation; fused recompute desynchronised them)."""
+
+    def test_matches_search_on_random_queries(self):
+        import dataclasses
+        import jax.numpy as jnp
+        from newmsm_tpu.core.mesh import Mesh
+        from newmsm_tpu.ops import nearest as NN
+
+        m = Mesh.from_icosphere(4)
+        m.true_rescale(100.0)
+        t = NN.build_tables(m.coords, m.faces)
+        assert t.pristine_res == 4
+        rng = np.random.default_rng(7)
+        q = rng.normal(size=(2000, 3))
+        q = q / np.linalg.norm(q, axis=1, keepdims=True) * 100.0
+        qf = jnp.asarray(q, jnp.float32)
+        data = np.sin(m.coords[:, 0] / 15.0)
+
+        tv_p, w_p = NN.barycentric_coords(qf, t)
+        tv_d, w_d = NN.barycentric_coords(
+            qf, dataclasses.replace(t, pristine_res=-1))
+        vp = (data[np.asarray(tv_p)] * np.asarray(w_p)).sum(1)
+        vd = (data[np.asarray(tv_d)] * np.asarray(w_d)).sum(1)
+        np.testing.assert_allclose(vp, vd, atol=5e-5)
+
+    def test_fid_corner_consistency_on_vertex_queries(self):
+        """Queries exactly at mesh vertices lie on many face boundaries —
+        under jit the chosen face and the barycentric weights must stay
+        consistent (reconstruction lands back on the query)."""
+        import jax
+        import jax.numpy as jnp
+        from newmsm_tpu.core.mesh import Mesh
+        from newmsm_tpu.ops import nearest as NN
+
+        m = Mesh.from_icosphere(4)
+        m.true_rescale(100.0)
+        t = NN.build_tables(m.coords, m.faces)
+        q = jnp.asarray(m.coords, jnp.float32)       # every vertex
+
+        @jax.jit
+        def interp_positions(q):
+            tv, w = NN.barycentric_coords(q, t)
+            return jnp.sum(t.coords[tv] * w[..., None], axis=1)
+
+        rec = np.asarray(interp_positions(q))
+        err = np.linalg.norm(rec - np.asarray(q), axis=1)
+        assert err.max() < 1e-2, err.max()
+
+    def test_resample_pristine_partition_of_unity(self):
+        import jax.numpy as jnp
+        from newmsm_tpu.core.mesh import Mesh
+        from newmsm_tpu.ops import nearest as NN
+
+        m = Mesh.from_icosphere(3)
+        m.true_rescale(100.0)
+        t = NN.build_tables(m.coords, m.faces)
+        ones = jnp.ones((1, m.nvertices), jnp.float32)
+        rng = np.random.default_rng(1)
+        q = rng.normal(size=(500, 3))
+        q = q / np.linalg.norm(q, axis=1, keepdims=True) * 100.0
+        out = NN.resample_pristine(jnp.asarray(q, jnp.float32), t, ones)
+        np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-5)

@@ -125,36 +125,75 @@ def rigid_align(sph_reg: Mesh, sph_orig: Mesh, feat, cfg, iters: int,
     min_iter = 0
     loop = 0
 
-    while spacing > 0.05:
-        step = stepsize
-        per = spacing
-        for it in range(1, iters + 1):
-            g = np.array([
-                cost(coords, per, 0, 0) - grad_zero,
-                cost(coords, 0, per, 0) - grad_zero,
-                cost(coords, 0, 0, per) - grad_zero,
-            ]) / per
-            n = np.linalg.norm(g)
-            if n > 0:
-                g = g / n
+    # one device program per spacing level: the reference's inner loop makes
+    # 4 host-synced cost evaluations per iteration (rigid_costfunction.cpp:
+    # 176-222), which is dispatch-floor-bound over the remote tunnel; the
+    # math below is the same loop as a lax.while_loop
+    @functools.partial(jax.jit, static_argnames=("n_iters",))
+    def sweep(coords, per, step0, grad_zero, mingrad, min_iter, rec_final,
+              loop_base, n_iters: int):
+        def cost_d(coords, a1, a2, a3):
+            a = jnp.stack([a1, a2, a3]).astype(jnp.float32)
+            return rigid_cost.__wrapped__(a, coords, src_c, tgt_coords,
+                                          tgt_c, cos_ang, min_sigma, simval)
+
+        z = jnp.float32(0)
+
+        def body(carry):
+            (it, coords, grad_zero, mingrad, min_iter, rec_final, step,
+             done) = carry
+            per_f = jnp.float32(per)
+            g = jnp.stack([
+                cost_d(coords, per_f, z, z) - grad_zero,
+                cost_d(coords, z, per_f, z) - grad_zero,
+                cost_d(coords, z, z, per_f) - grad_zero,
+            ]) / per_f
+            n = jnp.linalg.norm(g)
+            g = jnp.where(n > 0, g / jnp.where(n > 0, n, 1.0), g)
             euler = step * g
 
-            tmp = coords
-            coords = sph.apply_euler(coords, float(euler[0]), float(euler[1]),
-                                     float(euler[2]))
-            grad_zero = cost(coords, 0, 0, 0)
+            new_coords = sph.apply_euler(coords, euler[0], euler[1], euler[2])
+            new_grad = cost_d(new_coords, z, z, z)
 
-            if grad_zero > mingrad:
-                mingrad = grad_zero
-                min_iter = loop * iters + it
-                rec_final = mingrad
-            if (loop * iters) + it - min_iter > 0:
-                step *= 0.5
-                coords = tmp
-            if step < 1e-3:
-                break
+            improved = new_grad > mingrad
+            mingrad_n = jnp.where(improved, new_grad, mingrad)
+            total_it = loop_base + it
+            min_iter_n = jnp.where(improved, total_it, min_iter)
+            rec_final_n = jnp.where(improved, mingrad_n, rec_final)
+            revert = (total_it - min_iter_n) > 0
+            step_n = jnp.where(revert, step * 0.5, step)
+            coords_n = jnp.where(revert, coords, new_coords)
+            # the reference keeps the NEW cost in grad_zero even when the
+            # move is reverted (rigid_costfunction.cpp:203-218)
+            grad_n = new_grad
+            done_n = step_n < 1e-3
+
+            # when already done, pass everything through unchanged
+            keep = lambda new, old: jnp.where(done, old, new)
+            return (it + 1, keep(coords_n, coords), keep(grad_n, grad_zero),
+                    keep(mingrad_n, mingrad), keep(min_iter_n, min_iter),
+                    keep(rec_final_n, rec_final), keep(step_n, step),
+                    jnp.logical_or(done, done_n))
+
+        def cond(carry):
+            return carry[0] <= n_iters
+
+        init = (jnp.int32(1), coords, grad_zero, mingrad, min_iter,
+                rec_final, jnp.float32(step0), jnp.bool_(False))
+        out = jax.lax.while_loop(cond, body, init)
+        return out[1], out[2], out[3], out[4], out[5]
+
+    grad_zero = jnp.float32(grad_zero)
+    mingrad = jnp.float32(mingrad)
+    min_iter_d = jnp.int32(0)
+    rec_final_d = jnp.float32(0.0)
+    while spacing > 0.05:
+        coords, grad_zero, mingrad, min_iter_d, rec_final_d = sweep(
+            coords, spacing, stepsize, grad_zero, mingrad, min_iter_d,
+            rec_final_d, jnp.int32(loop * iters), n_iters=iters)
         loop += 1
         spacing *= 0.5
+    rec_final = float(rec_final_d)
 
     if verbose and rec_final != 0.0:
         print(f"  rigid: improvement "

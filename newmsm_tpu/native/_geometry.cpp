@@ -154,6 +154,68 @@ static PyObject* ring2_faces(PyObject*, PyObject* args) {
 }
 
 /* ----------------------------------------------------------------------- */
+/* bfs_ball(nbr_idx, n_coarse, depth) -> (n_coarse, C) sorted, self-padded */
+/* graph-ball vertex table (the icosphere-descent candidate sets;          */
+/* ops/nearest._descent_table)                                             */
+/* ----------------------------------------------------------------------- */
+
+static PyObject* bfs_ball(PyObject*, PyObject* args) {
+    PyArrayObject* nbr_obj;
+    long n_coarse, depth;
+    if (!PyArg_ParseTuple(args, "O!ll", &PyArray_Type, &nbr_obj, &n_coarse,
+                          &depth))
+        return nullptr;
+    PyArrayObject* nbr = (PyArrayObject*)PyArray_FROM_OTF(
+        (PyObject*)nbr_obj, NPY_INT32, NPY_ARRAY_IN_ARRAY);
+    if (!nbr) return nullptr;
+    const npy_intp n = PyArray_DIM(nbr, 0);
+    const npy_intp md = PyArray_DIM(nbr, 1);
+    const int32_t* nb = (const int32_t*)PyArray_DATA(nbr);
+
+    std::vector<std::vector<int32_t>> rows((size_t)n_coarse);
+    std::vector<int32_t> frontier, next;
+    std::vector<char> seen((size_t)n, 0);
+    std::vector<int32_t> touched;
+    for (long v = 0; v < n_coarse; ++v) {
+        auto& row = rows[v];
+        touched.clear();
+        frontier.assign(1, (int32_t)v);
+        seen[v] = 1;
+        touched.push_back((int32_t)v);
+        row.push_back((int32_t)v);
+        for (long d = 0; d < depth; ++d) {
+            next.clear();
+            for (int32_t a : frontier) {
+                for (npy_intp j = 0; j < md; ++j) {
+                    int32_t b = nb[(npy_intp)a * md + j];
+                    if (b < 0 || seen[b]) continue;
+                    seen[b] = 1;
+                    touched.push_back(b);
+                    row.push_back(b);
+                    next.push_back(b);
+                }
+            }
+            frontier.swap(next);
+        }
+        std::sort(row.begin(), row.end());
+        for (int32_t t : touched) seen[t] = 0;
+    }
+    npy_intp cmax = 1;
+    for (auto& r : rows) cmax = std::max(cmax, (npy_intp)r.size());
+    npy_intp dims[2] = {n_coarse, cmax};
+    PyArrayObject* out = (PyArrayObject*)PyArray_SimpleNew(2, dims, NPY_INT32);
+    int32_t* o = (int32_t*)PyArray_DATA(out);
+    for (long v = 0; v < n_coarse; ++v) {
+        const auto& r = rows[v];
+        for (npy_intp j = 0; j < cmax; ++j)
+            o[(npy_intp)v * cmax + j] = j < (npy_intp)r.size()
+                                            ? r[j] : (int32_t)v;
+    }
+    Py_DECREF(nbr);
+    return (PyObject*)out;
+}
+
+/* ----------------------------------------------------------------------- */
 /* BVH nearest-triangle with reference-octree query semantics              */
 /* ----------------------------------------------------------------------- */
 
@@ -364,6 +426,8 @@ static PyMethodDef methods[] = {
      "adjacency(faces, nverts) -> (nbr_idx, nbr_cnt, tri_idx, tri_cnt)"},
     {"ring2_faces", ring2_faces, METH_VARARGS,
      "ring2_faces(nbr_idx, tri_idx) -> (N,C) candidate-face table"},
+    {"bfs_ball", bfs_ball, METH_VARARGS,
+     "bfs_ball(nbr_idx, n_coarse, depth) -> (n_coarse,C) graph-ball table"},
     {"nearest_triangle_bvh", nearest_triangle_bvh, METH_VARARGS,
      "nearest_triangle_bvh(coords, faces, queries) -> (Q,) triangle ids"},
     {nullptr, nullptr, 0, nullptr}};

@@ -112,6 +112,13 @@ def _descent_table(level: int) -> np.ndarray:
     fine = icosphere(level)
     n_coarse = icosphere(level - 1).nvertices
     nbr = fine.nbr_idx
+    try:
+        from ..native import _geometry
+        if _geometry is not None:
+            return _geometry.bfs_ball(
+                np.ascontiguousarray(nbr, np.int32), n_coarse, _DESCENT_DEPTH)
+    except ImportError:
+        pass
     rows = []
     for v in range(n_coarse):
         seen = {v}

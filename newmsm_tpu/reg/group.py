@@ -178,7 +178,9 @@ class GroupMeshRegistration:
         L = len(labels)
         lbl = jnp.asarray(labels, jnp.float32)
 
+        import time as _time
         for it in range(cfg.iters[level]):
+            t0 = _time.perf_counter()
             state = self._setup_iteration(lbl)
             labeling = jnp.zeros((S * K,), jnp.int32)
 
@@ -186,6 +188,7 @@ class GroupMeshRegistration:
             pfn = self._pair_combo_fn(state)
             zero_unary = jnp.zeros((L, S * K), jnp.float32)
 
+            t1 = _time.perf_counter()
             labeling = fusion_optimize(
                 labeling, zero_unary, jnp.asarray(self.full_triplets),
                 self.fusion_tables, tfn, L,
@@ -194,10 +197,12 @@ class GroupMeshRegistration:
                 labeling, zero_unary, jnp.asarray(self.full_triplets), tfn,
                 pairs=state["pairs"], pair_combo_fn=pfn))
             labeling = np.asarray(labeling)
+            t2 = _time.perf_counter()
             self.energy_log.append((self.level, it, newenergy))
             if self.verbose:
                 print(f"  iter {it}: energy {newenergy:.4f} "
-                      f"({(labeling != 0).mean():.0%} nodes moved)")
+                      f"({(labeling != 0).mean():.0%} nodes moved)  "
+                      f"[setup {t1 - t0:.2f}s opt {t2 - t1:.2f}s]")
 
             if it > 1 and (energy - newenergy < newenergy * 0.01):
                 break

@@ -153,3 +153,83 @@ class TestRigid:
         after = alignment_correlation(mr.transformed_data, refd)
         before = alignment_correlation(ind, refd)
         assert after > before, (before, after)
+
+
+class TestRigidSweepParity:
+    """The fused lax.while_loop annealing sweep must reproduce the host-loop
+    reference algorithm (rigid_costfunction.cpp:164-228) step for step."""
+
+    def test_matches_host_loop(self):
+        import jax.numpy as jnp
+        from newmsm_tpu.core.mesh import Mesh
+        from newmsm_tpu.reg import rigid as R
+        from newmsm_tpu.reg.config import RegConfig
+        from newmsm_tpu.core import spherical as sph
+        from fixtures import make_pair
+
+        inp, in_data, ref, ref_data = make_pair(res=3, rot_degrees=8.0, seed=2)
+        inp.true_rescale(100.0)
+        ref.true_rescale(100.0)
+
+        class Feat:
+            def get_input_data(self):
+                return in_data
+
+            def get_reference_data(self):
+                return ref_data
+
+        cfg = RegConfig()
+        cfg.gradsampling, cfg.stepsize = 0.5, 0.01
+        iters, simval = 8, 1
+        out = R.rigid_align(inp.copy(), ref, Feat(), cfg, iters=iters,
+                            simval=simval)
+
+        # host-loop reference (the pre-fusion implementation)
+        src = inp.copy()
+        mvd = src.calculate_MeanVD()
+        cos_ang = float(np.cos(2 * np.arcsin(4 * mvd / (2 * 100.0))))
+        src_c = jnp.asarray(R._center_columns(in_data), jnp.float32)
+        tgt_c = jnp.asarray(R._center_columns(ref_data), jnp.float32)
+        tgt_coords = jnp.asarray(ref.coords, jnp.float32)
+
+        def cost(coords, a1, a2, a3):
+            return float(R.rigid_cost(
+                jnp.asarray([a1, a2, a3], jnp.float32), coords, src_c,
+                tgt_coords, tgt_c, cos_ang, mvd, simval))
+
+        coords = jnp.asarray(src.coords, jnp.float32)
+        spacing, stepsize = cfg.gradsampling, cfg.stepsize
+        grad_zero = cost(coords, 0, 0, 0)
+        mingrad = grad_zero
+        min_iter = 0
+        loop = 0
+        while spacing > 0.05:
+            step, per = stepsize, spacing
+            for it in range(1, iters + 1):
+                g = np.array([
+                    cost(coords, per, 0, 0) - grad_zero,
+                    cost(coords, 0, per, 0) - grad_zero,
+                    cost(coords, 0, 0, per) - grad_zero,
+                ]) / per
+                n = np.linalg.norm(g)
+                if n > 0:
+                    g = g / n
+                euler = step * g
+                tmp = coords
+                coords = sph.apply_euler(coords, float(euler[0]),
+                                         float(euler[1]), float(euler[2]))
+                grad_zero = cost(coords, 0, 0, 0)
+                if grad_zero > mingrad:
+                    mingrad = grad_zero
+                    min_iter = loop * iters + it
+                if (loop * iters) + it - min_iter > 0:
+                    step *= 0.5
+                    coords = tmp
+                if step < 1e-3:
+                    break
+            loop += 1
+            spacing *= 0.5
+
+        np.testing.assert_allclose(np.asarray(out.coords),
+                                   np.asarray(coords, np.float64),
+                                   atol=2e-3)

@@ -79,6 +79,8 @@ def main(argv=None) -> int:
         from .reg.group import GroupMeshRegistration
         gmr = GroupMeshRegistration()
         gmr.verbose = args.verbose
+        gmr.debug = args.debug
+        gmr.metrics_path = args.metrics or None
         gmr.outdir = args.out
         gmr.set_inputs(read_list_file(args.meshes))
         gmr.set_data_list(read_list_file(args.data))

@@ -299,8 +299,12 @@ def read_spmat(filename: str) -> np.ndarray:
         raise ValueError(f"{filename}: expected 3-column sparse triplets")
     r, c, v = trip[:, 0].astype(int), trip[:, 1].astype(int), trip[:, 2]
     nr, nc = int(r.max()), int(c.max())
+    # spconvert semantics: the trailing `nrows ncols 0` row only carries the
+    # dimensions, and duplicate triplets SUM (not overwrite)
+    if v[-1] == 0.0 and r[-1] == nr and c[-1] == nc:
+        r, c, v = r[:-1], c[:-1], v[:-1]
     out = np.zeros((nr, nc))
-    out[r - 1, c - 1] = v                     # dimension row writes 0 — ok
+    np.add.at(out, (r - 1, c - 1), v)
     return out
 
 

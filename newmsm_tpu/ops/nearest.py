@@ -338,6 +338,24 @@ def resample_pristine(points, tables: SearchTables, data):
                                  points[..., 2], tables, data)
 
 
+# Maximum per-edge stretch (deformed/pristine length, either direction) under
+# which the depth-3 descent ball is still guaranteed to contain the true
+# nearest vertex: the ball covers ~1.5x the coarse spacing vs the ~0.87x
+# pristine worst case, a ~1.7x margin. Beyond this, fall back to the exact
+# dense search (the reference octree is exact for any geometry,
+# octree.cpp:156-214).
+_DESCENT_MAX_STRETCH = 1.6
+
+
+def _max_edge_stretch(coords: np.ndarray, faces: np.ndarray,
+                      pristine: np.ndarray) -> float:
+    e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
+    d_def = np.linalg.norm(coords[e[:, 0]] - coords[e[:, 1]], axis=1)
+    d_pri = np.linalg.norm(pristine[e[:, 0]] - pristine[e[:, 1]], axis=1)
+    r = d_def / np.maximum(d_pri, 1e-30)
+    return float(max(r.max(), (1.0 / np.maximum(r, 1e-30)).max()))
+
+
 def build_tables(coords, faces, tri_idx=None, dtype=jnp.float32) -> SearchTables:
     """Host-side table prep (topology only; coordinates may be deformed)."""
     from ..core.icosphere import _NVERT_TO_RES, build_adjacency, icosphere
@@ -349,10 +367,15 @@ def build_tables(coords, faces, tri_idx=None, dtype=jnp.float32) -> SearchTables
     pristine_res = -1
     if res is not None and np.array_equal(icosphere(res).faces, faces):
         ring = _icosphere_ring_faces(res)
-        if res > _DESCENT_BASE_RES:
-            descent = tuple(jnp.asarray(_descent_table(r))
-                            for r in range(_DESCENT_BASE_RES + 1, res + 1))
         rad = float(np.linalg.norm(coords[0]))
+        if res > _DESCENT_BASE_RES:
+            # deformation gate: descent refinement is only Voronoi-exact for
+            # bounded warps; heavily deformed meshes take the dense path
+            stretch = _max_edge_stretch(coords, faces,
+                                        icosphere(res).coords * rad)
+            if stretch <= _DESCENT_MAX_STRETCH:
+                descent = tuple(jnp.asarray(_descent_table(r))
+                                for r in range(_DESCENT_BASE_RES + 1, res + 1))
         if np.abs(coords - icosphere(res).coords * rad).max() < 1e-4 * rad:
             pristine_res = res
     else:

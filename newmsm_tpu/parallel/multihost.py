@@ -35,9 +35,21 @@ def initialize(coordinator_address: str | None = None,
     """Bring up the JAX global runtime across hosts (jax.distributed).
 
     Idempotent; a no-op when running single-process with no coordinator
-    configured (the common 1-host case and all tests)."""
+    configured (the common 1-host case and all tests).
+
+    MUST be called before any backend-initialising JAX call, so the
+    already-distributed check reads jax.distributed's own client state
+    instead of jax.process_count() (which would initialise the backend and
+    make jax.distributed.initialize() raise)."""
     global _initialized
-    if _initialized or jax.process_count() > 1:
+    if _initialized:
+        return
+    try:
+        from jax._src.distributed import global_state
+        already = global_state.client is not None
+    except Exception:                        # pragma: no cover — jax internals
+        already = False
+    if already:
         _initialized = True
         return
     import os
@@ -81,6 +93,11 @@ def process_subject_slice(n_subjects: int, axis: str = "subjects",
     files from disk (each host reads S/num_processes subjects)."""
     mesh = mesh or subjects_device_mesh(axis)
     n_dev = mesh.devices.size
+    if n_subjects % n_dev:
+        raise ValueError(
+            f"n_subjects={n_subjects} must be divisible by the device count "
+            f"{n_dev} for subject sharding (pad the cohort or drop devices); "
+            "refusing to silently drop the remainder subjects")
     per_dev = n_subjects // n_dev
     local = [i for i, d in enumerate(mesh.devices.flat)
              if d.process_index == jax.process_index()]

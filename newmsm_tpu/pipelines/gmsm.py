@@ -62,14 +62,20 @@ def run_gmsm(meshes: List[Mesh], datasets: List[np.ndarray], template: Mesh,
     gmr.set_data_list(datasets)
     gmr.set_template(template)
     gmr.verbose = verbose
+    tmp_ctx = None
     if not outdir:
-        # never write intermediates into the caller's CWD
+        # never write intermediates into the caller's CWD; cleaned up below
         import tempfile
-        outdir_run = tempfile.mkdtemp(prefix="gmsm_") + "/"
+        tmp_ctx = tempfile.TemporaryDirectory(prefix="gmsm_")
+        outdir_run = tmp_ctx.name + "/"
     else:
         outdir_run = outdir
     gmr.outdir = outdir_run
-    gmr.run_multiresolutions(config)
+    try:
+        gmr.run_multiresolutions(config)
+    finally:
+        if tmp_ctx is not None:
+            tmp_ctx.cleanup()
 
     original = gmr.sph_orig
     warped = gmr.sph_reg

@@ -169,13 +169,19 @@ def parse_config(path: str | None) -> RegConfig:
     if cfg.dopt == "FastPD":
         cfg.regmode = 1   # mesh_registration.cpp:693
 
-    # validation (mesh_registration.cpp:758-783)
+    # validation (mesh_registration.cpp:758-783; regmode-4 removal :102)
+    if cfg.regmode == 4:
+        raise ValueError(
+            "--regoption 4 has been removed from newMSM. Use --regoption 3 "
+            "for spherical mesh regularisation or --regoption 5 for "
+            "anatomical mesh regularisation.")
     if cfg.regmode > 1 and cfg.dopt == "FastPD":
         raise ValueError("cannot run higher-order regularisers with FastPD")
     if len(cfg.cutthreshold) != 2:
         raise ValueError("cut threshold needs exactly lower,upper")
     for name in ("simval", "iters", "sigma_in", "sigma_ref", "cost",
-                 "reglambda", "datagrid", "cpgrid", "sampgrid"):
+                 "reglambda", "datagrid", "cpgrid", "sampgrid",
+                 "anatgrid", "mciters"):
         if len(getattr(cfg, {"cost": "cost"}.get(name, name))) != n:
             raise ValueError(f"config list length inconsistent: {name}")
     if cfg.patchwise and cfg.triclique:

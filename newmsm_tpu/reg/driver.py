@@ -173,9 +173,10 @@ class MeshRegistration:
         self.model = PairwiseModel(mc, control, self.sph_orig, target,
                                    self.feat.get_input_data(),
                                    self.feat.get_reference_data())
-        if self.in_anat is not None and cfg.regmode in (4, 5):
+        # regmode 4 is rejected at config parse (mesh_registration.cpp:102)
+        if self.in_anat is not None and cfg.regmode == 5:
             self.model.anat = self._resample_anatomy(level, control)
-        elif cfg.regmode in (4, 5):
+        elif cfg.regmode == 5:
             raise ValueError("--regoption 5 requires anatomical meshes")
 
     def _resample_anatomy(self, level: int, control: Mesh):

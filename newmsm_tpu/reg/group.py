@@ -54,7 +54,17 @@ class GroupMeshRegistration:
         self.surf_format = ".surf.gii"
         self.data_format = ".func.gii"
         self.verbose = False
+        self.debug = False
         self.energy_log: list = []
+        self.metrics_path: Optional[str] = None   # JSONL per-iteration metrics
+
+    def _log_metrics(self, **kw):
+        """Structured observability (SURVEY §5), same JSONL contract as the
+        pairwise driver: one JSON line per event."""
+        if self.metrics_path:
+            import json
+            with open(self.metrics_path, "a") as f:
+                f.write(json.dumps(kw) + "\n")
 
     # ---- inputs ----------------------------------------------------------
     def set_inputs(self, meshes: List[Mesh] | List[str]):
@@ -184,6 +194,14 @@ class GroupMeshRegistration:
             state = self._setup_iteration(lbl)
             labeling = jnp.zeros((S * K,), jnp.int32)
 
+            if self.debug:
+                # per-iteration mesh dumps (DiscreteModel.cpp:234-240 analog)
+                for s in range(S):
+                    self.sph_reg[s].save(
+                        self._out(f"SOURCE-{s}-{self.level}-{it}.surf.gii"))
+                    self.cp_grids[s].save(
+                        self._out(f"CPgrid-{s}-{self.level}-{it}.surf.gii"))
+
             tfn = self._triplet_combo_fn(state)
             pfn = self._pair_combo_fn(state)
             zero_unary = jnp.zeros((L, S * K), jnp.float32)
@@ -199,10 +217,15 @@ class GroupMeshRegistration:
             labeling = np.asarray(labeling)
             t2 = _time.perf_counter()
             self.energy_log.append((self.level, it, newenergy))
+            changed = float((labeling != 0).mean())
             if self.verbose:
                 print(f"  iter {it}: energy {newenergy:.4f} "
-                      f"({(labeling != 0).mean():.0%} nodes moved)  "
+                      f"({changed:.0%} nodes moved)  "
                       f"[setup {t1 - t0:.2f}s opt {t2 - t1:.2f}s]")
+            self._log_metrics(event="iter", level=self.level, iter=it,
+                              energy=newenergy, changed=changed,
+                              setup_s=round(t1 - t0, 4),
+                              opt_s=round(t2 - t1, 4))
 
             if it > 1 and (energy - newenergy < newenergy * 0.01):
                 break

@@ -93,6 +93,141 @@ _BITS = jnp.array([[0, 0, 0], [0, 0, 1], [0, 1, 0], [0, 1, 1],
                    [1, 0, 0], [1, 0, 1], [1, 1, 0], [1, 1, 1]], jnp.int32)
 
 
+def binary_move_tables(labeling, alpha, unary, triplets,
+                       triplet_combo_fn: Callable,
+                       pairs=None, pair_combo_fn: Optional[Callable] = None):
+    """The binary "keep current label vs switch to alpha" energy tables
+    (Fusion.h:148-202): per-node unary (u0, u1), per-triplet 8-combination
+    table t8 (bit order node0,node1,node2; bit=1 means switch), per-pair
+    4-combination table p4. Any of t8/p4 may be None."""
+    K = labeling.shape[0]
+    u0 = unary[labeling, jnp.arange(K)]
+    u1 = unary[alpha, jnp.arange(K)]
+
+    t8 = None
+    if triplets.shape[0] > 0:
+        cur = labeling[triplets]                        # (T,3)
+        la = jnp.where(_BITS[None, :, 0] == 1, alpha, cur[:, 0:1])
+        lb = jnp.where(_BITS[None, :, 1] == 1, alpha, cur[:, 1:2])
+        lc = jnp.where(_BITS[None, :, 2] == 1, alpha, cur[:, 2:3])
+        t8 = triplet_combo_fn(la, lb, lc)               # (T,8)
+
+    p4 = None
+    if pairs is not None and pair_combo_fn is not None:
+        curp = labeling[pairs]                          # (Pr,2)
+        pa = jnp.stack([curp[:, 0], curp[:, 0],
+                        jnp.full_like(curp[:, 0], 0) + alpha,
+                        jnp.full_like(curp[:, 0], 0) + alpha], axis=1)
+        pb = jnp.stack([curp[:, 1], jnp.full_like(curp[:, 1], 0) + alpha,
+                        curp[:, 1], jnp.full_like(curp[:, 1], 0) + alpha],
+                       axis=1)
+        p4 = pair_combo_fn(pa, pb)                      # (Pr,4)
+    return u0, u1, t8, p4
+
+
+def binary_energy(x, u0, u1, t8, p4, triplets, pairs):
+    """Total binary-subproblem energy at x (0=keep, 1=switch)."""
+    e = jnp.sum(jnp.where(x == 1, u1, u0))
+    if t8 is not None:
+        xb = x[triplets]
+        e = e + jnp.sum(t8[jnp.arange(triplets.shape[0]),
+                           xb[:, 0] * 4 + xb[:, 1] * 2 + xb[:, 2]])
+    if p4 is not None:
+        xp = x[pairs]
+        e = e + jnp.sum(p4[jnp.arange(pairs.shape[0]),
+                           xp[:, 0] * 2 + xp[:, 1]])
+    return e
+
+
+def _binary_icm(x, u0, u1, t8, p4, triplets, pairs, tables: FusionTables,
+                icm_passes: int):
+    """Exact parallel coordinate descent on the binary move energy from a
+    given start x: color groups flip simultaneously, each flip evaluated
+    against its true local energy delta. Monotone non-increasing."""
+    K = u0.shape[0]
+    n_colors = tables.vgroups.shape[0]
+
+    def icm_pass(_, x):
+        def do_color(c, x):
+            nodes = tables.vgroups[c]
+            gmask = tables.vgroup_mask[c]
+            n_safe = jnp.where(gmask, nodes, 0)
+
+            delta = u1[n_safe] - u0[n_safe]
+
+            if t8 is not None:
+                it = tables.vert_tri[n_safe]            # (G,MT)
+                pc = tables.vert_tri_corner[n_safe]
+                tmask = (it >= 0) & gmask[:, None]
+                it_s = jnp.where(it >= 0, it, 0)
+                xb = x[triplets[it_s]]                  # (G,MT,3)
+                base = xb[..., 0] * 4 + xb[..., 1] * 2 + xb[..., 2]
+                w = jnp.where(pc == 0, 4, jnp.where(pc == 1, 2, 1))
+                own = jnp.take_along_axis(xb, pc[..., None], axis=2)[..., 0]
+                idx0 = base - own * w
+                idx1 = idx0 + w
+                d_t = (t8[it_s, idx1] - t8[it_s, idx0]) * tmask
+                delta = delta + d_t.sum(axis=1)
+
+            if p4 is not None:
+                ip = tables.vert_pair[n_safe]
+                pe = tables.vert_pair_end[n_safe]
+                pmask = (ip >= 0) & gmask[:, None]
+                ip_s = jnp.where(ip >= 0, ip, 0)
+                xp = x[pairs[ip_s]]                     # (G,MP,2)
+                baseP = xp[..., 0] * 2 + xp[..., 1]
+                wp = jnp.where(pe == 0, 2, 1)
+                ownp = jnp.take_along_axis(xp, pe[..., None], axis=2)[..., 0]
+                i0 = baseP - ownp * wp
+                i1 = i0 + wp
+                d_p = (p4[ip_s, i1] - p4[ip_s, i0]) * pmask
+                delta = delta + d_p.sum(axis=1)
+
+            newx = (delta < 0).astype(x.dtype)
+            return x.at[jnp.where(gmask, n_safe, K)].set(
+                jnp.where(gmask, newx, 0), mode="drop")
+
+        return jax.lax.fori_loop(0, n_colors, do_color, x)
+
+    return jax.lax.fori_loop(0, icm_passes, icm_pass, x)
+
+
+def fusion_binary_solve(labeling, alpha, unary, triplets,
+                        tables: FusionTables, triplet_combo_fn: Callable,
+                        pairs=None, pair_combo_fn: Optional[Callable] = None,
+                        icm_passes: int = 8, n_restarts: int = 2):
+    """Solve one binary fusion move (replaces ELC reduction + FastPD,
+    Fusion.h:122-244): multi-start parallel ICM from x=0 ("keep all"),
+    x=1 ("all switch to alpha") and `n_restarts` seeded random starts,
+    keeping the lowest-energy solution. The extra starts escape local minima
+    where a jointly-beneficial block move is rejected node-by-node from x=0
+    (FastPD finds such moves via max-flow);
+    tests/test_fusion_optimality.py certifies exactness by enumeration on
+    12-node problems. Starts run batched (vmapped), so wall-time cost is
+    sublinear in the start count. Returns binary x (K,)."""
+    u0, u1, t8, p4 = binary_move_tables(labeling, alpha, unary, triplets,
+                                        triplet_combo_fn, pairs,
+                                        pair_combo_fn)
+    K = labeling.shape[0]
+    starts = [jnp.zeros((K,), jnp.int32), jnp.ones((K,), jnp.int32)]
+    if n_restarts > 0:
+        key = jax.random.fold_in(jax.random.PRNGKey(7), alpha)
+        starts.append(jax.random.bernoulli(
+            key, 0.5, (n_restarts, K)).astype(jnp.int32))
+        x0 = jnp.concatenate([jnp.stack(starts[:2]), starts[2]])
+    else:
+        x0 = jnp.stack(starts)
+
+    solve = jax.vmap(lambda x: _binary_icm(x, u0, u1, t8, p4, triplets,
+                                           pairs, tables, icm_passes))
+    xs = solve(x0)                                      # (n_starts,K)
+    es = jax.vmap(lambda x: binary_energy(x, u0, u1, t8, p4, triplets,
+                                          pairs))(xs)
+    # the x=0 start can never increase the energy vs "keep all"; prefer the
+    # earliest start on ties (argmin is first-match) so sweeps stay monotone
+    return xs[jnp.argmin(es)]
+
+
 def fusion_optimize(labeling, unary, triplets, tables: FusionTables,
                     triplet_combo_fn: Callable, num_labels: int,
                     pairs=None, pair_combo_fn: Optional[Callable] = None,
@@ -103,80 +238,12 @@ def fusion_optimize(labeling, unary, triplets, tables: FusionTables,
     unary: (L,K). triplet_combo_fn(la,lb,lc)->(T,C) for label-index arrays
     (T,C); pair_combo_fn(pa,pb)->(Pr,C).
     """
-    K = labeling.shape[0]
-    n_colors = tables.vgroups.shape[0]
-    have_pairs = pairs is not None and pair_combo_fn is not None
-    have_triplets = triplets.shape[0] > 0
-
-    def alpha_step(labeling, alpha):
-        u0 = unary[labeling, jnp.arange(K)]
-        u1 = unary[alpha, jnp.arange(K)]
-
-        if have_triplets:
-            cur = labeling[triplets]                    # (T,3)
-            la = jnp.where(_BITS[None, :, 0] == 1, alpha, cur[:, 0:1])
-            lb = jnp.where(_BITS[None, :, 1] == 1, alpha, cur[:, 1:2])
-            lc = jnp.where(_BITS[None, :, 2] == 1, alpha, cur[:, 2:3])
-            t8 = triplet_combo_fn(la, lb, lc)           # (T,8)
-
-        if have_pairs:
-            curp = labeling[pairs]                      # (Pr,2)
-            pa = jnp.stack([curp[:, 0], curp[:, 0],
-                            jnp.full_like(curp[:, 0], 0) + alpha,
-                            jnp.full_like(curp[:, 0], 0) + alpha], axis=1)
-            pb = jnp.stack([curp[:, 1], jnp.full_like(curp[:, 1], 0) + alpha,
-                            curp[:, 1], jnp.full_like(curp[:, 1], 0) + alpha],
-                           axis=1)
-            p4 = pair_combo_fn(pa, pb)                  # (Pr,4)
-
-        def icm_pass(_, x):
-            def do_color(c, x):
-                nodes = tables.vgroups[c]
-                gmask = tables.vgroup_mask[c]
-                n_safe = jnp.where(gmask, nodes, 0)
-
-                delta = u1[n_safe] - u0[n_safe]
-
-                if have_triplets:
-                    it = tables.vert_tri[n_safe]        # (G,MT)
-                    pc = tables.vert_tri_corner[n_safe]
-                    tmask = (it >= 0) & gmask[:, None]
-                    it_s = jnp.where(it >= 0, it, 0)
-                    xb = x[triplets[it_s]]              # (G,MT,3)
-                    base = xb[..., 0] * 4 + xb[..., 1] * 2 + xb[..., 2]
-                    w = jnp.where(pc == 0, 4, jnp.where(pc == 1, 2, 1))
-                    own = jnp.take_along_axis(xb, pc[..., None], axis=2)[..., 0]
-                    idx0 = base - own * w
-                    idx1 = idx0 + w
-                    d_t = (t8[it_s, idx1] - t8[it_s, idx0]) * tmask
-                    delta = delta + d_t.sum(axis=1)
-
-                if have_pairs:
-                    ip = tables.vert_pair[n_safe]
-                    pe = tables.vert_pair_end[n_safe]
-                    pmask = (ip >= 0) & gmask[:, None]
-                    ip_s = jnp.where(ip >= 0, ip, 0)
-                    xp = x[pairs[ip_s]]                 # (G,MP,2)
-                    baseP = xp[..., 0] * 2 + xp[..., 1]
-                    wp = jnp.where(pe == 0, 2, 1)
-                    ownp = jnp.take_along_axis(xp, pe[..., None], axis=2)[..., 0]
-                    i0 = baseP - ownp * wp
-                    i1 = i0 + wp
-                    d_p = (p4[ip_s, i1] - p4[ip_s, i0]) * pmask
-                    delta = delta + d_p.sum(axis=1)
-
-                newx = (delta < 0).astype(x.dtype)
-                return x.at[jnp.where(gmask, n_safe, K)].set(
-                    jnp.where(gmask, newx, 0), mode="drop")
-
-            return jax.lax.fori_loop(0, n_colors, do_color, x)
-
-        x = jnp.zeros((K,), jnp.int32)
-        x = jax.lax.fori_loop(0, icm_passes, icm_pass, x)
-        return jnp.where(x == 1, alpha, labeling)
-
     def body(i, labeling):
-        return alpha_step(labeling, i % num_labels)
+        alpha = i % num_labels
+        x = fusion_binary_solve(labeling, alpha, unary, triplets, tables,
+                                triplet_combo_fn, pairs, pair_combo_fn,
+                                icm_passes)
+        return jnp.where(x == 1, alpha, labeling)
 
     return jax.lax.fori_loop(0, sweeps * num_labels, body, labeling)
 

@@ -116,6 +116,43 @@ class TestPairwiseMCMC:
         after = alignment_correlation(mr.transformed_data, refd)
         assert after > before, (before, after)
 
+    def test_mcmc_deep_sweeps(self):
+        """Run the optimiser at realistic sweep depth (>=5k of the reference
+        default 100k, mesh_registration.cpp:712-713) in one device program:
+        energy must be monotone non-increasing vs a short run and labels
+        stay in range."""
+        import jax
+        import jax.numpy as jnp
+        from newmsm_tpu.core.mesh import Mesh
+        from newmsm_tpu.reg.optimise.coloring import (color_groups,
+                                                      face_coloring)
+        from newmsm_tpu.reg.optimise.mcmc import mcmc_optimise, total_energy
+
+        cp = Mesh.from_icosphere(2)
+        cp.true_rescale(100.0)
+        K = cp.nvertices
+        trip = np.sort(cp.faces.astype(np.int32), axis=1)
+        T, L = trip.shape[0], 12
+        groups, gmask = color_groups(face_coloring(trip, K))
+
+        rng = np.random.default_rng(1)
+        unary = jnp.asarray(rng.normal(size=(L, K)), jnp.float32)
+        tcosts = jnp.asarray(np.abs(rng.normal(size=(T, L, L, L))) * 0.1,
+                             jnp.float32)
+        lab0 = jnp.zeros((K,), jnp.int32)
+        key = jax.random.PRNGKey(0)
+        args = (unary, tcosts, jnp.asarray(trip), jnp.asarray(groups),
+                jnp.asarray(gmask))
+
+        short = mcmc_optimise(lab0, *args, key, 50, L)
+        deep = mcmc_optimise(lab0, *args, key, 5000, L)
+        e0 = float(total_energy(lab0, unary, tcosts, jnp.asarray(trip)))
+        e_s = float(total_energy(short, unary, tcosts, jnp.asarray(trip)))
+        e_d = float(total_energy(deep, unary, tcosts, jnp.asarray(trip)))
+        assert e_s < e0
+        assert e_d <= e_s + 1e-3, (e0, e_s, e_d)
+        assert int(jnp.max(deep)) < L and int(jnp.min(deep)) >= 0
+
 
 class TestPairwiseFastPD:
     def test_pairwise_mode_runs(self):

@@ -11,10 +11,11 @@ moves only (the reference rejects other optimisers, group_...cpp:85-89).
 
 TPU mapping: the subject axis is the distribution axis. All per-subject
 state is stored subject-major — `label_maps (S,L,D,Nt)`, CP coords (S,K,3) —
-so the heavy per-iteration stages (map resampling, pair-cost evaluation) can
-shard over devices with `jax.sharding`; cross-subject pair costs read two
-subjects' maps, which an all-gather of the (L,D,Nt) blocks provides (see
-parallel/group_sharding.py and __graft_entry__.dryrun_multichip).
+and every heavy per-iteration stage (map resampling, cross-subject
+correspondence, fusion-move tables) runs through the subject-sharded
+optimiser in parallel/group_fusion.py on a `subjects` device mesh. A
+single device is just a 1-device mesh of the same program, so device count
+never changes results (tests/test_group_sharded.py).
 """
 from __future__ import annotations
 
@@ -29,13 +30,11 @@ from ..core.mesh import Mesh
 from ..core import io as mio
 from ..core import spherical as sph
 from ..ops import resample as rsp
-from ..ops.nearest import build_tables, closest_vertex
-from ..ops import similarity as simi
+from ..ops.nearest import build_tables
 from ..ops.unfold import unfold
 from . import costs as C
 from . import featurespace as fsp
 from .config import RegConfig, parse_config
-from .optimise.fusion import build_fusion_tables, fusion_optimize, fusion_energy
 from .sampling_grid import build_sampling_grid
 
 RAD = 100.0
@@ -157,14 +156,10 @@ class GroupMeshRegistration:
                     warped = rsp.sphere_project_warp(self.sph_orig, icotmp, prev[s])
                     self.sph_reg[s] = unfold(warped, self.verbose)
         self.cp_grids = [control.copy() for _ in range(S)]
-        if getattr(self, "_prev_cp_warp", None):
-            pass
 
         # global node numbering: subject * K + vertex
         full_trip = np.concatenate([trip + s * K for s in range(S)], axis=0)
         self.full_triplets = full_trip
-
-        self.fusion_tables = build_fusion_tables(full_trip, S * K)
 
         # subject-major template tables
         self.template_tables = build_tables(self.template.coords,
@@ -174,25 +169,81 @@ class GroupMeshRegistration:
         nt = self.template.nvertices
         frac = (cfg.cprange * control.calculate_MaxVD())**2 / (4 * RAD**2)
         self.pmax = int(min(nt, max(64, 2.5 * frac * nt)))
+
+        # ---- the production subject-sharded optimiser (any device count) --
+        from ..parallel.group_fusion import (GroupLevelStatics,
+                                             make_fusion_fn, make_maps_fn,
+                                             make_partner_fn)
+        self.device_mesh = self._select_mesh(S)
+        labels = np.asarray(self.sampling.samples, np.float32)
+        cp_search = build_tables(control.coords, control.faces,
+                                 control.adjacency[2])
+        mask_w = (jnp.abs(jnp.asarray(self.mask, jnp.float32))
+                  if self.mask is not None else None)
+        self.level_statics = GroupLevelStatics(
+            labels=jnp.asarray(labels), centre=self.centre,
+            orig_cp=jnp.asarray(control.coords, jnp.float32),
+            cp_faces=jnp.asarray(trip),
+            tmpl_coords=jnp.asarray(self.template.coords, jnp.float32),
+            mask_w=mask_w, cp_search=cp_search,
+            mu=cfg.shearmod, kappa=cfg.bulkmod, k_exp=cfg.k_exponent,
+            rexp=cfg.regexp, reglambda=cfg.reglambda[level],
+            subcorr=0.1 * S,             # DiscreteGroupCostFunction.h:45
+            simval=cfg.simval[level], percentile=cfg.percentile,
+            pmax=self.pmax, cprange=cfg.cprange, fixnan=cfg.fixnan)
+
+        dg0 = self.sph_orig
+        _, _, dg_tri_idx, _ = dg0.adjacency
+        dg_tables = build_tables(dg0.coords, dg0.faces, dg_tri_idx)
+        tmpl_vareas = jnp.asarray(self.template.vertex_area(), jnp.float32)
+        dg_topology = (dg_tables.faces, jnp.asarray(dg_tri_idx),
+                       dg_tables.ring_faces, dg_tables.ring_verts,
+                       self.template_tables, tmpl_vareas)
+        cap = rsp._adaptive_cap(dg0.nvertices, nt)
+        self._maps_fn = make_maps_fn(self.device_mesh, self.level_statics,
+                                     dg_topology, cap)
+        self._partner_fn = make_partner_fn(self.device_mesh,
+                                           self.level_statics, S)
+        self._fusion_fn = make_fusion_fn(self.device_mesh,
+                                         self.level_statics, S)
         if self.verbose:
-            print(f"   S={S} K={K} labels={len(self.sampling.samples)} "
-                  f"pmax={self.pmax}")
+            print(f"   S={S} K={K} labels={len(labels)} pmax={self.pmax} "
+                  f"devices={self.device_mesh.devices.size}")
+
+    def _select_mesh(self, S: int):
+        """1-D 'subjects' device mesh: the largest device count that divides
+        S (subject sharding needs equal shards), honouring `max_devices`."""
+        import jax as _jax
+        from jax.sharding import Mesh as JMesh
+        devs = _jax.devices()
+        limit = getattr(self, "max_devices", None) or len(devs)
+        n = min(len(devs), limit, S)
+        while S % n:
+            n -= 1
+        return JMesh(np.array(devs[:n]), ("subjects",))
 
     # ---- outer loop ------------------------------------------------------
     def _evaluate(self, level: int):
+        """Outer discrete-optimisation loop (group run_discrete_opt,
+        group_mesh_registration.cpp:70-118), driven by the subject-sharded
+        fusion optimiser (parallel/group_fusion.py) for ANY device count —
+        single-device runs use a 1-device mesh of the same program, so
+        multi-chip results are identical by construction."""
+        from ..parallel.group_fusion import build_iteration_tables
+
         cfg = self.cfg
         S = len(self.meshes)
         K = self.control.nvertices
         energy = 0.0
-        labels = self.sampling.samples          # groupwise uses vertices only
-        L = len(labels)
-        lbl = jnp.asarray(labels, jnp.float32)
+        L = len(self.sampling.samples)      # groupwise uses vertices only
+
+        import jax as _jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        shard = NamedSharding(self.device_mesh, P("subjects"))
 
         import time as _time
         for it in range(cfg.iters[level]):
             t0 = _time.perf_counter()
-            state = self._setup_iteration(lbl)
-            labeling = jnp.zeros((S * K,), jnp.int32)
 
             if self.debug:
                 # per-iteration mesh dumps (DiscreteModel.cpp:234-240 analog)
@@ -202,18 +253,30 @@ class GroupMeshRegistration:
                     self.cp_grids[s].save(
                         self._out(f"CPgrid-{s}-{self.level}-{it}.surf.gii"))
 
-            tfn = self._triplet_combo_fn(state)
-            pfn = self._pair_combo_fn(state)
-            zero_unary = jnp.zeros((L, S * K), jnp.float32)
+            # subject-sharded device state
+            dg_coords = _jax.device_put(jnp.asarray(np.stack(
+                [m.coords for m in self.sph_reg]), jnp.float32), shard)
+            dg_data = _jax.device_put(jnp.asarray(np.stack(
+                [self.feat.data[s] for s in range(S)]), jnp.float32), shard)
+            cp = _jax.device_put(jnp.asarray(np.stack(
+                [g.coords for g in self.cp_grids]), jnp.float32), shard)
+            spac = _jax.device_put(jnp.asarray(np.stack(
+                [g.max_vertex_distances() for g in self.cp_grids]),
+                jnp.float32), shard)
+
+            # label-deformed template maps (sharded, no collectives) and
+            # cross-subject correspondences (sharded over first subject)
+            maps = self._maps_fn(dg_coords, dg_data)
+            partner = np.asarray(self._partner_fn(cp))
+
+            # incidence + coloring for this iteration's pair structure
+            tables = build_iteration_tables(partner, self.cp_triplets, S, K)
 
             t1 = _time.perf_counter()
-            labeling = fusion_optimize(
-                labeling, zero_unary, jnp.asarray(self.full_triplets),
-                self.fusion_tables, tfn, L,
-                pairs=state["pairs"], pair_combo_fn=pfn)
-            newenergy = float(fusion_energy(
-                labeling, zero_unary, jnp.asarray(self.full_triplets), tfn,
-                pairs=state["pairs"], pair_combo_fn=pfn))
+            labeling0 = jnp.zeros((S * K,), jnp.int32)
+            labeling, energy_dev = self._fusion_fn(
+                maps, cp, spac, labeling0, jnp.asarray(partner), tables)
+            newenergy = float(energy_dev)
             labeling = np.asarray(labeling)
             t2 = _time.perf_counter()
             self.energy_log.append((self.level, it, newenergy))
@@ -224,6 +287,7 @@ class GroupMeshRegistration:
                       f"[setup {t1 - t0:.2f}s opt {t2 - t1:.2f}s]")
             self._log_metrics(event="iter", level=self.level, iter=it,
                               energy=newenergy, changed=changed,
+                              devices=int(self.device_mesh.devices.size),
                               setup_s=round(t1 - t0, 4),
                               opt_s=round(t2 - t1, 4))
 
@@ -231,7 +295,12 @@ class GroupMeshRegistration:
                 break
 
             # apply labeling per subject (DiscreteGroupModel + group driver)
-            rl = np.asarray(state["rl"])        # (S,K,L,3)
+            lbl = np.asarray(self.sampling.samples, np.float32)
+            cp_np = np.stack([g.coords for g in self.cp_grids])
+            rots = np.asarray(sph.rodrigues(
+                jnp.broadcast_to(self.centre, (S, K, 3)),
+                jnp.asarray(cp_np, jnp.float32)))
+            rl = np.einsum("skij,lj->skli", rots, lbl)       # (S,K,L,3)
             for s in range(S):
                 prev_cp = self.cp_grids[s].copy()
                 new_coords = rl[s][np.arange(K), labeling[s * K:(s + 1) * K]]
@@ -242,175 +311,6 @@ class GroupMeshRegistration:
                     self.sph_reg[s], prev_cp, new_cp), self.verbose)
                 self.cp_grids[s] = new_cp
             energy = newenergy
-
-    # ---- per-iteration device state --------------------------------------
-    def _setup_iteration(self, lbl):
-        cfg = self.cfg
-        S = len(self.meshes)
-        K = self.control.nvertices
-        L = lbl.shape[0]
-
-        cp = jnp.asarray(np.stack([g.coords for g in self.cp_grids]), jnp.float32)
-
-        # per-subject rotations + rotated label positions (S,K,L,3)
-        rots = sph.rodrigues(jnp.broadcast_to(self.centre, cp.shape), cp)
-        rl = jnp.einsum("skij,lj->skli", rots, lbl)
-
-        # per-subject spacings (S,K)
-        spacings = np.stack([g.max_vertex_distances() for g in self.cp_grids])
-
-        # cross-subject pairs (estimate_pairs, DiscreteGroupModel.cpp:37-55)
-        pairs = []
-        cp_tables = [build_tables(g.coords, g.faces, g.adjacency[2])
-                     for g in self.cp_grids]
-        nearest = np.stack([
-            np.stack([np.asarray(closest_vertex(
-                jnp.asarray(self.cp_grids[a].coords, jnp.float32), cp_tables[b]))
-                for b in range(S)]) for a in range(S)])   # (S_a, S_b, K)
-        for a in range(S):
-            for b in range(a + 1, S):
-                pairs.append(np.stack([a * K + np.arange(K, dtype=np.int64),
-                                       b * K + nearest[a, b]], axis=1))
-        pairs = (np.concatenate(pairs).astype(np.int32) if pairs
-                 else np.zeros((0, 2), np.int32))
-        # pair endpoints change every iteration (closest-CP matching), so the
-        # fusion incidence/coloring tables are rebuilt with them
-        self.fusion_tables = build_fusion_tables(self.full_triplets, S * K,
-                                                 pairs=pairs)
-
-        # label-deformed feature maps on the template (get_patch_data,
-        # DiscreteGroupModel.cpp:88-121): each datapoint moves to
-        # R(centre->datapoint) @ label; resample data onto template space.
-        maps = self._label_maps(lbl)            # (S,L,D,Nt)
-
-        return dict(cp=cp, rl=rl, labels=lbl, pairs=jnp.asarray(pairs),
-                    spacings=jnp.asarray(spacings, jnp.float32), maps=maps)
-
-    def _label_maps(self, lbl):
-        """(S,L,D,Nt) label-deformed template maps — one jitted kernel per
-        subject (vmappable/shardable over subjects; the heaviest per-iteration
-        stage, SURVEY §2.7)."""
-        import jax as _jax
-        from ..ops.resample import label_deformed_maps, vertex_areas_kernel
-        from ..ops.nearest import build_tables as _bt
-
-        S = len(self.meshes)
-        dg0 = self.sph_reg[0]
-        _, _, dg_tri_idx, _ = dg0.adjacency
-        dg_tables = _bt(dg0.coords, dg0.faces, dg_tri_idx)
-        tmpl_t = self.template_tables
-        tmpl_vareas = jnp.asarray(self.template.vertex_area(), jnp.float32)
-        cap = rsp._adaptive_cap(dg0.nvertices, self.template.nvertices)
-
-        out = []
-        for s in range(S):
-            coords = jnp.asarray(self.sph_reg[s].coords, jnp.float32)
-            data = jnp.asarray(self.feat.data[s], jnp.float32)
-            maps = label_deformed_maps(
-                coords, data, dg_tables.faces, jnp.asarray(dg_tri_idx),
-                dg_tables.ring_faces, dg_tables.ring_verts, lbl, self.centre,
-                tmpl_t, tmpl_vareas, cap=cap)
-            out.append(maps)
-        return jnp.stack(out)                            # (S,L,D,Nt)
-
-    # ---- cost callbacks --------------------------------------------------
-    def _triplet_combo_fn(self, state):
-        cfg = self.cfg
-        S = len(self.meshes)
-        K = self.control.nvertices
-        rl = state["rl"].reshape(S * K, -1, 3)   # node-major
-        cp_flat = state["cp"].reshape(S * K, 3)
-        orig = jnp.asarray(self.control.coords, jnp.float32)
-        trip = jnp.asarray(self.full_triplets)
-        subcorr = 0.1 * S                        # DiscreteGroupCostFunction.h:45
-        lam = cfg.reglambda[self.level - 1]
-
-        def fn(la, lb, lc):
-            va = rl[trip[:, 0][:, None], la]
-            vb = rl[trip[:, 1][:, None], lb]
-            vc = rl[trip[:, 2][:, None], lc]
-            cur = cp_flat[trip]
-            n_cur = sph.tri_normal(cur[:, 0], cur[:, 1], cur[:, 2])
-            n_def = sph.tri_normal(va, vb, vc)
-            folded = jnp.sum(n_def * n_cur[:, None, :], axis=-1) < 0.0
-            o = orig[trip % K]                   # per-subject original grid
-            orig_b = jnp.broadcast_to(o[:, None], va.shape[:2] + (3, 3))
-            deformed = jnp.stack([va, vb, vc], axis=-2)
-            from ..ops.strain import triangular_strain
-            strain = triangular_strain(orig_b, deformed, cfg.shearmod,
-                                       cfg.bulkmod, cfg.k_exponent)
-            cost = subcorr * lam * jnp.power(strain, cfg.regexp)
-            if cfg.fixnan:
-                cost = jnp.where(jnp.isnan(cost), FIX_NAN, cost)
-            return jnp.where(folded, FOLDING, cost)
-        return fn
-
-    def _pair_combo_fn(self, state):
-        cfg = self.cfg
-        S = len(self.meshes)
-        K = self.control.nvertices
-        simval = cfg.simval[self.level - 1]
-        rl = state["rl"]                         # (S,K,L,3)
-        maps = state["maps"]                     # (S,L,D,Nt)
-        spac = state["spacings"]                 # (S,K)
-        pairs = state["pairs"]                   # (Pr,2) global node ids
-        tmpl = jnp.asarray(self.template.coords, jnp.float32)
-        mask_w = (jnp.abs(jnp.asarray(self.mask, jnp.float32))
-                  if self.mask is not None else None)
-        pmax = self.pmax
-        cprange = cfg.cprange
-        percentile = cfg.percentile
-
-        sa = pairs[:, 0] // K
-        va = pairs[:, 0] % K
-        sb = pairs[:, 1] // K
-        vb = pairs[:, 1] % K
-
-        def patch(s, v, l):
-            """Top-pmax nearest template verts of RL[s,v,l] + in-range mask."""
-            c = rl[s, v, l]                      # (...,3)
-            d2 = (jnp.sum(tmpl**2, axis=1) - 2.0 * (c @ tmpl.T)
-                  + jnp.sum(c * c, axis=-1)[..., None])
-            chord = jnp.sqrt(jnp.maximum(d2, 0.0))
-            dist = 2.0 * RAD * jnp.arcsin(jnp.clip(chord / (2 * RAD), -1, 1))
-            npad = (-dist.shape[-1]) % 128   # lane-align top_k axis
-            dp = jnp.pad(dist, [(0, 0)] * (dist.ndim - 1) + [(0, npad)],
-                         constant_values=jnp.inf)
-            neg, idx = jax.lax.top_k(-dp, pmax)
-            idx = jnp.minimum(idx, dist.shape[-1] - 1)
-            in_range = (-neg) < cprange * spac[s, v][..., None]
-            return idx, in_range
-
-        def fn(pa, pb):
-            # pa/pb: (Pr,C) label indices
-            idx_a, rng_a = patch(sa[:, None], va[:, None], pa)   # (Pr,C,pmax)
-            _, rng_b_at_a = None, None
-            # B's in-range test evaluated AT A's patch indices:
-            cb = rl[sb[:, None], vb[:, None], pb]                # (Pr,C,3)
-            ta = tmpl[idx_a]                                     # (Pr,C,pmax,3)
-            chord = jnp.linalg.norm(ta - cb[:, :, None, :], axis=-1)
-            db = 2.0 * RAD * jnp.arcsin(jnp.clip(chord / (2 * RAD), -1, 1))
-            rng_b = db < (cprange * spac[sb, vb])[:, None, None]
-
-            overlap = rng_a & rng_b                              # (Pr,C,pmax)
-            da = maps[sa[:, None, None, None], pa[:, :, None, None],
-                      jnp.arange(maps.shape[2])[None, None, :, None],
-                      idx_a[:, :, None, :]]                      # (Pr,C,D,pmax)
-            db_ = maps[sb[:, None, None, None], pb[:, :, None, None],
-                       jnp.arange(maps.shape[2])[None, None, :, None],
-                       idx_a[:, :, None, :]]
-            if mask_w is not None:
-                w = mask_w[idx_a][:, :, None, :]
-                w = jnp.broadcast_to(w, da.shape)
-            else:
-                w = jnp.ones_like(da)
-            m = jnp.broadcast_to(overlap[:, :, None, :], da.shape).astype(da.dtype)
-            per_dim = simi.sim_for_min(da, db_, w, m, simval, percentile)
-            cost = per_dim.mean(axis=-1)                         # mean over dims
-            if cfg.fixnan:
-                cost = jnp.where(jnp.isnan(cost), FIX_NAN, cost)
-            return cost
-        return fn
 
     # ---- outputs ---------------------------------------------------------
     def _out(self, name: str) -> str:

@@ -1,0 +1,149 @@
+"""Production multi-chip groupwise: shard-count invariance at both the
+optimiser level and the full driver level (VERDICT round-1 item #1).
+
+The contract: the subject-sharded fusion step (parallel/group_fusion.py)
+assembles its binary move tables from device-count-independent per-block
+programs combined only by concatenation / disjoint-slot psum, so labelings
+and energies are IDENTICAL (not merely close) for any device count.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh as JMesh, NamedSharding, PartitionSpec as P
+
+from newmsm_tpu.core.mesh import Mesh
+from newmsm_tpu.parallel.group_fusion import (GroupLevelStatics,
+                                              build_iteration_tables,
+                                              make_fusion_fn,
+                                              make_partner_fn, pair_blocks)
+from newmsm_tpu.reg.sampling_grid import build_sampling_grid
+
+from fixtures import smooth_pattern, rotation_matrix
+
+
+def build_problem(S, seed=0):
+    from newmsm_tpu.ops.nearest import build_tables
+    control = Mesh.from_icosphere(1)
+    control.true_rescale(100.0)
+    template = Mesh.from_icosphere(2)
+    template.true_rescale(100.0)
+    K, Nt, D = control.nvertices, template.nvertices, 1
+    sg = build_sampling_grid(3, 0.5 * control.calculate_MaxVD())
+    labels = np.asarray(sg.samples, np.float32)
+    trip = np.sort(control.faces.astype(np.int32), axis=1)
+    cp_search = build_tables(control.coords, control.faces,
+                             control.adjacency[2])
+    st = GroupLevelStatics(
+        labels=jnp.asarray(labels),
+        centre=jnp.asarray(sg.centre, jnp.float32),
+        orig_cp=jnp.asarray(control.coords, jnp.float32),
+        cp_faces=jnp.asarray(trip),
+        tmpl_coords=jnp.asarray(template.coords, jnp.float32),
+        mask_w=None, cp_search=cp_search,
+        mu=0.4, kappa=1.6, k_exp=2.0, rexp=2.0, reglambda=0.1,
+        subcorr=0.1 * S, simval=2, percentile=0.75, pmax=32, cprange=1.0,
+        fixnan=False)
+
+    rng = np.random.default_rng(seed)
+    cp = np.broadcast_to(np.asarray(control.coords, np.float32),
+                         (S, K, 3)).copy()
+    cp += rng.normal(size=cp.shape).astype(np.float32) * 1.5
+    cp /= np.linalg.norm(cp, axis=-1, keepdims=True) / 100.0
+    spac = np.broadcast_to(np.asarray(control.max_vertex_distances(),
+                                      np.float32), (S, K)).copy()
+    maps = rng.normal(size=(S, len(labels), D, Nt)).astype(np.float32)
+    return st, trip, maps, cp, spac, K, len(labels)
+
+
+class TestOptimiserShardInvariance:
+    def test_1_2_4_8_devices_identical(self):
+        S = 8
+        st, trip, maps, cp, spac, K, L = build_problem(S)
+        lab0 = jnp.zeros((S * K,), jnp.int32)
+        results = {}
+        for nd in (1, 2, 4, 8):
+            mesh = JMesh(np.array(jax.devices()[:nd]), ("subjects",))
+            sh = NamedSharding(mesh, P("subjects"))
+            cpd = jax.device_put(jnp.asarray(cp), sh)
+            spacd = jax.device_put(jnp.asarray(spac), sh)
+            mapsd = jax.device_put(jnp.asarray(maps), sh)
+            partner = np.asarray(make_partner_fn(mesh, st, S)(cpd))
+            tables = build_iteration_tables(partner, trip, S, K)
+            labeling, energy = make_fusion_fn(mesh, st, S)(
+                mapsd, cpd, spacd, lab0, jnp.asarray(partner), tables)
+            results[nd] = (np.asarray(labeling), float(energy), partner)
+
+        lab1, e1, part1 = results[1]
+        assert (lab1 != 0).any(), "fixture never moved a node"
+        assert lab1.min() >= 0 and lab1.max() < L
+        for nd in (2, 4, 8):
+            labn, en, partn = results[nd]
+            np.testing.assert_array_equal(part1, partn)
+            np.testing.assert_array_equal(lab1, labn)
+            assert e1 == en, (e1, en)
+
+    def test_partner_matches_host_closest_vertex(self):
+        """Device-side estimate_pairs == the host closest_vertex loop the
+        round-1 driver ran (DiscreteGroupModel.cpp:37-55 semantics)."""
+        from newmsm_tpu.ops.nearest import build_tables, closest_vertex
+        S = 4
+        st, trip, maps, cp, spac, K, L = build_problem(S, seed=3)
+        mesh = JMesh(np.array(jax.devices()[:4]), ("subjects",))
+        sh = NamedSharding(mesh, P("subjects"))
+        partner = np.asarray(make_partner_fn(mesh, st, S)(
+            jax.device_put(jnp.asarray(cp), sh)))
+
+        control = Mesh.from_icosphere(1)
+        control.true_rescale(100.0)
+        for a in range(S):
+            for b in range(S):
+                tabs = build_tables(cp[b], control.faces,
+                                    control.adjacency[2])
+                ref = np.asarray(closest_vertex(
+                    jnp.asarray(cp[a], jnp.float32), tabs))
+                np.testing.assert_array_equal(partner[a, b], ref, err_msg=f"{a},{b}")
+
+
+class TestDriverShardInvariance:
+    def _run_driver(self, meshes, datasets, max_devices):
+        from newmsm_tpu.reg.group import GroupMeshRegistration
+        from test_group import group_config
+        import tempfile
+        gmr = GroupMeshRegistration()
+        gmr.max_devices = max_devices
+        gmr.set_inputs([m.copy() for m in meshes])
+        gmr.set_data_list([d.copy() for d in datasets])
+        gmr.set_template(Mesh.from_icosphere(2))
+        gmr.outdir = tempfile.mkdtemp() + "/"
+        cfg = group_config(iters=2)
+        cfg.datagrid = [2]
+        cfg.sampgrid = [2]
+        gmr.run_multiresolutions(cfg)
+        return gmr
+
+    def test_full_registration_1_vs_8_devices(self):
+        """S=8 synthetic subjects registered through the REAL driver on a
+        1-device vs an 8-device mesh: identical energies and identical
+        registered spheres (the VERDICT 'done' criterion)."""
+        from test_group import make_group
+        meshes, datasets = make_group(8, res=2, degrees=6.0)
+        g1 = self._run_driver(meshes, datasets, max_devices=1)
+        g8 = self._run_driver(meshes, datasets, max_devices=8)
+
+        assert g1.device_mesh.devices.size == 1
+        assert g8.device_mesh.devices.size == 8
+        assert [e for (_, _, e) in g1.energy_log] == \
+               [e for (_, _, e) in g8.energy_log]
+        for s in range(8):
+            np.testing.assert_array_equal(g1.sph_reg[s].coords,
+                                          g8.sph_reg[s].coords)
+
+    def test_registration_improves_coalignment_s8(self):
+        from test_group import make_group, mean_pairwise_corr
+        meshes, datasets = make_group(8, res=2, degrees=6.0)
+        g8 = self._run_driver(meshes, datasets, max_devices=8)
+        before = mean_pairwise_corr(datasets)
+        after = mean_pairwise_corr(g8.transformed_data)
+        assert after > before, (before, after)

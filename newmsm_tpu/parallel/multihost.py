@@ -86,6 +86,16 @@ def replicate(array, mesh: Mesh):
     return jax.device_put(array, NamedSharding(mesh, P()))
 
 
+def global_shard_subjects(local_array, mesh: Mesh, axis: str = "subjects"):
+    """Assemble a GLOBAL subject-sharded array from this process's local
+    subject slice (the multi-process complement of shard_subjects: each host
+    loads only its process_subject_slice of the cohort and contributes it
+    here; jax stitches the global array without any host ever holding all
+    subjects)."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.make_array_from_process_local_data(sharding, local_array)
+
+
 def process_subject_slice(n_subjects: int, axis: str = "subjects",
                           mesh: Mesh | None = None) -> slice:
     """The contiguous subject range this process owns under

@@ -89,24 +89,37 @@ def extract_info(clustering: Dict[str, List[str]] | str,
     tree: List[Tuple[str, str, str]] = []
     sizes = {g: len(s) for g, s in kept.items()}
 
-    def reduce(node: str) -> Optional[str]:
-        # representative of `node` in the induced tree, emitting internal
-        # nodes post-order (children are always emitted before parents)
+    # iterative post-order (explicit stack): real clustering dendrograms can
+    # be chain-like with thousands of nodes, far past Python's recursion limit
+    rep: Dict[str, Optional[str]] = {}
+    stack: List[Tuple[str, bool]] = [(root, False)]
+    while stack:
+        node, expanded = stack.pop()
+        if node in rep:
+            continue
         if node in kept:
-            return node
+            rep[node] = node
+            continue
         ch = children.get(node)
         if ch is None:
-            return None
-        reps = [r for r in (reduce(c) for c in ch) if r is not None]
+            rep[node] = None
+            continue
+        if not expanded:
+            stack.append((node, True))
+            stack.extend((c, False) for c in ch if c not in rep)
+            continue
+        # children resolved: emit post-order (children before parents)
+        reps = [r for r in (rep[c] for c in ch) if r is not None]
         if not reps:
-            return None
-        if len(reps) == 1:          # lone leaf: splice this node out
-            return reps[0]
-        tree.append((reps[0], reps[1], node))
-        sizes[node] = sizes[reps[0]] + sizes[reps[1]]
-        return node
+            rep[node] = None
+        elif len(reps) == 1:        # lone leaf: splice this node out
+            rep[node] = reps[0]
+        else:
+            tree.append((reps[0], reps[1], node))
+            sizes[node] = sizes[reps[0]] + sizes[reps[1]]
+            rep[node] = node
 
-    top = reduce(root)
+    top = rep.get(root)
     if top is None:
         raise ValueError(f"no group reaches min_size={min_size} under {root}")
     subjects = [s for g in kept.values() for s in g]
@@ -126,6 +139,10 @@ def write_study_files(study: StudyTree, workdir: str,
     with open(os.path.join(workdir, "subjects_in_study.txt"), "w") as f:
         for s in study.subjects:
             f.write(s + "\n")
+    # NOTE: sorted lexicographically by node id for reference-file
+    # compatibility (extract_info.py writes dict order) — this is NOT
+    # execution order ('NODE10' < 'NODE9'); gen_order re-derives a
+    # children-first order itself, so the round-trip through this CSV works.
     path = os.path.join(workdir, f"{prefix}_hierarchical_path.csv")
     with open(path, "w") as f:
         for left, right, node in sorted(study.tree, key=lambda t: t[2]):
@@ -136,6 +153,30 @@ def write_study_files(study: StudyTree, workdir: str,
 # gen_order: execution rows + dependency blocks
 # --------------------------------------------------------------------------
 
+def _children_first(groups: Dict[str, List[str]],
+                    tree: Sequence[Tuple[str, str, str]]
+                    ) -> List[Tuple[str, str, str]]:
+    """Kahn-style topological sort of tree rows so every row's children are
+    leaves or earlier rows' roots. Raises ValueError on unknown groups or
+    cyclic/unsatisfiable rows (the CSV round-trip guarantee for gen_order)."""
+    ready = set(groups)
+    remaining = list(tree)
+    out: List[Tuple[str, str, str]] = []
+    while remaining:
+        nxt = [row for row in remaining
+               if row[0] in ready and row[1] in ready]
+        if not nxt:
+            bad = remaining[0]
+            raise ValueError(
+                f"tree row ({bad[0]},{bad[1]},{bad[2]}) references an "
+                "unknown group/mean — not resolvable in any order")
+        for row in nxt:
+            out.append(row)
+            ready.add(row[2])
+            remaining.remove(row)
+    return out
+
+
 def gen_order(groups: Dict[str, List[str]],
               tree: Sequence[Tuple[str, str, str]]
               ) -> Tuple[List[str], List[List[str]]]:
@@ -143,7 +184,12 @@ def gen_order(groups: Dict[str, List[str]],
     (gen_order.py:35-65): per subject '0,subject,own_group,sibling,root'
     registration rows and '1,NA,left,right,root' mean-generation rows,
     partitioned into blocks such that every row in a block only depends on
-    earlier blocks. Returns (order_rows, blocks)."""
+    earlier blocks. Returns (order_rows, blocks).
+
+    The tree rows may arrive in any order (e.g. read back from the
+    lexicographically sorted study CSV): they are topologically re-sorted
+    children-first here. Unknown groups / unsatisfiable dependencies raise."""
+    tree = _children_first(groups, tree)
     members = {g: list(s) for g, s in groups.items()}
     order: List[str] = []
     blocks: List[List[str]] = []
@@ -188,6 +234,15 @@ def gen_order(groups: Dict[str, List[str]],
 # end-to-end cohort run
 # --------------------------------------------------------------------------
 
+@dataclass
+class CohortResult:
+    state: dict          # cgMSM state keyed purely by group/node id
+    study: StudyTree     # the pruned study tree that drove the run
+
+    def __getitem__(self, key):         # convenience: result["N1"]
+        return self.state[key]
+
+
 def run_cohort(clustering: str | Dict[str, List[str]],
                hierarchy: str | Sequence[Tuple[str, str, str]],
                root: str,
@@ -196,14 +251,15 @@ def run_cohort(clustering: str | Dict[str, List[str]],
                config,
                min_size: int = 10,
                verbose: bool = False,
-               dedrift_warps: bool = True) -> dict:
+               dedrift_warps: bool = True) -> CohortResult:
     """cgMSM straight from the clustering + hierarchy CSVs
     (run_cgMSM_ver_gw_iter.sh orchestrated by extract_info/gen_order):
     prune the tree, then walk it children-first with pipelines.gmsm.run_cgmsm.
 
     datasets: {subject: (Mesh, (D,N) data)} for every subject that may be in
     the study; unused (small-group) subjects are ignored.
-    Returns the cgMSM state dict keyed by group/node id (see run_cgmsm).
+    Returns CohortResult(state, study): state is the cgMSM dict keyed purely
+    by group/node id (see run_cgmsm), study the pruned StudyTree.
     """
     from .gmsm import run_cgmsm
     study = extract_info(clustering, hierarchy, root, min_size)
@@ -212,8 +268,7 @@ def run_cohort(clustering: str | Dict[str, List[str]],
         raise ValueError(f"datasets missing study subjects: {missing[:5]}")
     state = run_cgmsm(study.groups, study.tree, datasets, template, config,
                       verbose=verbose, dedrift_warps=dedrift_warps)
-    state["__study__"] = study
-    return state
+    return CohortResult(state=state, study=study)
 
 
 # --------------------------------------------------------------------------
@@ -263,15 +318,18 @@ def register_dataset(subjects: Sequence[str],
             mr.set_input_data(np.atleast_2d(np.asarray(get(subject))))
             mr.set_reference_data(tdata)
             mr.verbose = verbose
-            if outdir:
-                mr.outdir = os.path.join(outdir, f"{subject}.MSM.")
+            # per-subject prefix even without outdir: the driver otherwise
+            # writes its default './' outputs and each subject would
+            # silently overwrite the previous one's sphere.reg/transformed
+            mr.outdir = os.path.join(outdir or ".", f"{subject}.MSM.")
             mr.run_multiresolutions(config)
 
             # driver already wrote sphere.reg/transformed per subject
             areal, shape = metrics.distortion_maps(mr.in_mesh, mr.warped_input)
             stats = metrics.distortion_stats(areal, shape)
+            # CC over ALL feature channels (flattened (D,N)), not just ch 0
             stats["cc"] = metrics.cross_correlation(
-                np.asarray(mr.transformed_data)[0], tdata[0])
+                np.asarray(mr.transformed_data).ravel(), tdata.ravel())
             result.per_subject[subject] = stats
             if outdir and save_distortion:
                 # wb_command -surface-distortion -local-affine-method -log2

@@ -95,11 +95,32 @@ class TestGenOrder:
         assert b_of["1,NA,A,B,N1"] < b_of["0,a0,N1,D,ROOT"]
         assert b_of["0,a0,A,B,N1"] < b_of["1,NA,A,B,N1"]
 
-    def test_bad_order_raises(self):
+    def test_any_row_order_accepted(self):
+        # rows read back from the lexicographically sorted study CSV are not
+        # children-first; gen_order re-sorts topologically
+        groups, hierarchy = _toy_cohort()
+        st = cohort.extract_info(groups, hierarchy, "ROOT", min_size=10)
+        fwd = cohort.gen_order(st.groups, st.tree)
+        rev = cohort.gen_order(st.groups, list(reversed(st.tree)))
+        assert fwd == rev
+
+    def test_unknown_group_raises(self):
         groups, hierarchy = _toy_cohort()
         st = cohort.extract_info(groups, hierarchy, "ROOT", min_size=10)
         with pytest.raises(ValueError):
-            cohort.gen_order(st.groups, list(reversed(st.tree)))
+            cohort.gen_order(st.groups, [("A", "NOPE", "N1")])
+
+    def test_deep_chain_hierarchy_no_recursion_limit(self):
+        # chain-like dendrogram far past the default recursion limit
+        depth = 5000
+        groups = {"A": [f"a{i}" for i in range(12)],
+                  "B": [f"b{i}" for i in range(11)]}
+        hierarchy = [("A", "B", "n0")]
+        for i in range(depth):
+            hierarchy.append((f"n{i}", f"leaf{i}", f"n{i+1}"))
+        st = cohort.extract_info(groups, hierarchy, f"n{depth}", min_size=10)
+        # every chain node has a single studied child -> spliced to one row
+        assert st.tree == [("A", "B", "n0")]
 
 
 class TestRunCohort:
@@ -114,12 +135,13 @@ class TestRunCohort:
         groups = {"G1": ["s0", "s1"], "G2": ["s2", "s3"], "G3": ["tiny"]}
         hierarchy = [("G1", "G2", "N1"), ("N1", "G3", "ROOT")]
         template = Mesh.from_icosphere(3)
-        state = cohort.run_cohort(groups, hierarchy, "ROOT", subs, template,
-                                  group_config(iters=2), min_size=2)
-        st = state["__study__"]
-        assert st.tree == [("G1", "G2", "N1")]
-        assert set(state["N1"]["members"]) == {"s0", "s1", "s2", "s3"}
-        assert state["N1"]["mean"].shape[-1] == template.nvertices
+        result = cohort.run_cohort(groups, hierarchy, "ROOT", subs, template,
+                                   group_config(iters=2), min_size=2)
+        assert result.study.tree == [("G1", "G2", "N1")]
+        # state is keyed purely by group/node id (no smuggled entries)
+        assert all(isinstance(v, dict) for v in result.state.values())
+        assert set(result["N1"]["members"]) == {"s0", "s1", "s2", "s3"}
+        assert result["N1"]["mean"].shape[-1] == template.nvertices
 
 
 class TestRegisterDataset:

@@ -8,8 +8,12 @@ resample against the 10242-vertex target, matching the reference's
 computeUnaryCost work unit (DiscreteCostFunction.cpp:378-383).
 
 vs_baseline compares against the same kernel executed on the host CPU
-backend (single process, all cores) — the reference implementation's
-hardware class.
+backend (all cores) — the reference implementation's hardware class. The
+CPU measurement runs in a SUBPROCESS with JAX_PLATFORMS=cpu: inside the
+main process, `jax.default_device(cpu)` is NOT enough — uncommitted arrays
+let the outer jit place the whole computation back on the default (TPU)
+backend, which silently turned rounds 1-2's "CPU baseline" into a second
+TPU run (vs_baseline pinned at ~1.0).
 
 Prints ONE JSON line.
 """
@@ -17,6 +21,8 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -133,6 +139,27 @@ def time_fn(fn, args, iters=5):
     return (t_l - t_s) / (10 * iters)
 
 
+def _cpu_worker():
+    """Measure the identical kernel on the host CPU backend. Runs in a
+    subprocess pinned to CPU via jax.config (the environment pre-imports
+    jax and overrides JAX_PLATFORMS, so the env var is not enough)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.devices()[0].platform == "cpu", jax.devices()
+    inp = build_inputs()
+    fn, args = make_fn(inp, jax.devices()[0])
+    t = time_fn(fn, args, iters=2)
+    print(json.dumps({"t_cpu": t}))
+
+
+def _cpu_baseline_time() -> float:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--cpu-worker"],
+        capture_output=True, text=True, timeout=1800)
+    line = out.stdout.strip().splitlines()[-1]
+    return float(json.loads(line)["t_cpu"])
+
+
 def main():
     import jax
 
@@ -145,14 +172,11 @@ def main():
     rate = work / t_dev
 
     vs_baseline = 0.0
-    try:
-        cpus = jax.devices("cpu")
-        if cpus and cpus[0].platform != dev.platform:
-            fn_c, args_c = make_fn(inp, cpus[0])
-            t_cpu = time_fn(fn_c, args_c, iters=2)
-            vs_baseline = rate / (work / t_cpu)
-    except Exception:
-        pass
+    if dev.platform != "cpu":
+        try:
+            vs_baseline = _cpu_baseline_time() / t_dev
+        except Exception:
+            pass
 
     print(json.dumps({
         "metric": "unary-cost-eval vertex-labels/sec/chip "
@@ -164,4 +188,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--cpu-worker" in sys.argv:
+        _cpu_worker()
+    else:
+        main()

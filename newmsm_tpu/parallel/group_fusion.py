@@ -228,7 +228,14 @@ def make_partner_fn(mesh: Mesh, st: GroupLevelStatics, S: int):
             qa = cp_loc[a_local]                       # (K,3)
 
             def one_b(cp_b):
-                tabs = st.cp_search._replace(coords=cp_b)
+                # swap in the DEFORMED grid coordinates and drop the
+                # pristine/descent shortcuts, which are only valid for the
+                # undeformed icosphere — leaving pristine_res set would
+                # silently answer the search on the pristine geometry
+                # (estimate_pairs queries the deformed grid's octree,
+                # DiscreteGroupModel.cpp:37-55)
+                tabs = st.cp_search._replace(coords=cp_b, pristine_res=-1,
+                                             descent=())
                 _, tv, vc = _search(qa, tabs, chunk=min(4096, qa.shape[0]))
                 d = jnp.linalg.norm(vc - qa[:, None, :], axis=-1)
                 sel = jnp.argmin(d, axis=1)
@@ -275,15 +282,56 @@ def make_maps_fn(mesh: Mesh, st: GroupLevelStatics, dg_topology, cap: int):
 # device-side: the fusion optimisation step
 # --------------------------------------------------------------------------
 
-def make_fusion_fn(mesh: Mesh, st: GroupLevelStatics, S: int):
+def _ring_local_pairs(nl: int) -> np.ndarray:
+    """(n0,2) local (i,j) i<j pairs for the r=0 (own-block) ring step,
+    -1 padded to at least one row."""
+    ij = [(i, j) for i in range(nl) for j in range(i + 1, nl)]
+    out = np.full((max(1, len(ij)), 2), -1, np.int32)
+    for s, (i, j) in enumerate(ij):
+        out[s] = (i, j)
+    return out
+
+
+def _block_id(a, b, S: int):
+    """Lexicographic pair-block id of (a,b), a<b (pair_blocks order)."""
+    return a * S - (a * (a + 1)) // 2 + (b - a - 1)
+
+
+def make_fusion_fn(mesh: Mesh, st: GroupLevelStatics, S: int,
+                   maps_exchange: str = "gather"):
     """Build the jitted subject-sharded fusion sweep.
 
     Call: (maps (S,L,D,Nt) sharded, cp (S,K,3) sharded, spac (S,K) sharded,
            labeling (S*K,) replicated, partner (S,S,K) replicated,
            tables: GroupIterTables replicated)
-      -> (labeling (S*K,) replicated, energy () replicated)
+      -> (labeling (S*K,) replicated, energy () replicated,
+          patch_overflow () replicated — count of (CP,label) patch requests
+          whose in-range template set exceeded pmax and was truncated)
+
+    maps_exchange — how devices see other subjects' label-deformed template
+    maps (the (S,L,D,Nt) tensor, the dominant memory term;
+    DiscreteGroupModel.cpp:88-121 is the reference hot spot):
+
+      'gather': one all_gather per fusion call. Bytes-optimal — each
+        received subject block (L*D*Nt floats) is reused by ~S partner
+        blocks x sweeps*L alpha steps — but every device holds the full
+        (S,L,D,Nt) tensor.
+      'ring': per-device maps memory stays O(S/n_dev): each alpha step
+        rotates the local block around the `subjects` ring (ppermute),
+        processing the pair blocks between the resident and visiting
+        subjects at each of n_dev//2+1 steps (each unordered block pair of
+        device shards meets exactly once; the even-n_dev antipodal step is
+        deduplicated by shard order). Identical block costs, assembled by
+        the same disjoint-slot psum, so labelings/energies match 'gather'
+        bitwise for any device count — at sweeps*L times the all_gather's
+        communication volume. Use when the gathered tensor would not fit.
     """
+    if maps_exchange not in ("gather", "ring"):
+        raise ValueError(f"unknown maps_exchange {maps_exchange!r}")
     n_dev = mesh.devices.size
+    if S % n_dev:
+        raise ValueError(f"S={S} not divisible by {n_dev} devices")
+    nl = S // n_dev
     K = st.orig_cp.shape[0]
     L = st.labels.shape[0]
     T = st.cp_faces.shape[0]
@@ -292,6 +340,11 @@ def make_fusion_fn(mesh: Mesh, st: GroupLevelStatics, S: int):
     blocks_j = jnp.asarray(blocks)
     subj_slots = jnp.asarray(_round_robin_slots(S, n_dev))    # (n_dev,ns)
     pair_slots = jnp.asarray(_round_robin_slots(B, n_dev))    # (n_dev,nb)
+    ring_ij0 = jnp.asarray(_ring_local_pairs(nl))             # (n0,2)
+    ring_ij = jnp.stack(jnp.meshgrid(jnp.arange(nl), jnp.arange(nl),
+                                     indexing="ij"),
+                        axis=-1).reshape(-1, 2).astype(jnp.int32)  # (nl*nl,2)
+    n_ring_steps = n_dev // 2 + 1
     from ..reg.optimise.fusion import _BITS
 
     def triplet_block(s, rl_all, cp_all, lab_sk, alpha):
@@ -321,48 +374,53 @@ def make_fusion_fn(mesh: Mesh, st: GroupLevelStatics, S: int):
 
     def run(maps_loc, cp_loc, spac_loc, labeling, partner, tables):
         shard = jax.lax.axis_index("subjects")
-        maps_all = jax.lax.all_gather(maps_loc, "subjects", tiled=True)
         cp_all = jax.lax.all_gather(cp_loc, "subjects", tiled=True)
         spac_all = jax.lax.all_gather(spac_loc, "subjects", tiled=True)
+        maps_all = (jax.lax.all_gather(maps_loc, "subjects", tiled=True)
+                    if maps_exchange == "gather" else None)
 
         rots = sph.rodrigues(
             jnp.broadcast_to(st.centre, cp_all.shape), cp_all)
         rl_all = jnp.einsum("skij,lj->skli", rots, st.labels)  # (S,K,L,3)
         tsq = jnp.sum(st.tmpl_coords ** 2, axis=1)             # (Nt,)
 
-        def patch_of(pos):
-            """pos (...,3) -> (idx (...,pmax), geodesic dist (...,pmax))."""
+        def patch_of(pos, limit):
+            """pos (...,3) -> (idx (...,pmax), geodesic dist (...,pmax),
+            n_inrange (...) count of template vertices within `limit` —
+            detects silent top-k truncation against st.pmax)."""
             d2 = (tsq - 2.0 * (pos @ st.tmpl_coords.T)
                   + jnp.sum(pos * pos, -1)[..., None])
             chord = jnp.sqrt(jnp.maximum(d2, 0.0))
             dist = 2.0 * RAD * jnp.arcsin(jnp.clip(chord / (2 * RAD), -1, 1))
+            n_in = jnp.sum(dist < limit[..., None], axis=-1)
             npad = (-dist.shape[-1]) % 128
             dp = jnp.pad(dist, [(0, 0)] * (dist.ndim - 1) + [(0, npad)],
                          constant_values=jnp.inf)
             neg, idx = jax.lax.top_k(-dp, st.pmax)
             idx = jnp.minimum(idx, dist.shape[-1] - 1)
-            return idx, -neg
+            return idx, -neg, n_in
 
-        def one_pair_block(bid_safe, rl_all, maps_all, spac_all, lab_sk,
-                           partner, alpha):
-            """(K,4) binary pair table for block (a,b): combos indexed
+        def pair_block_cost(a, b, map_a, map_b, lab_sk, alpha):
+            """(K,4) binary pair table for block (a,b), a<b: combos indexed
             x_a*2 + x_b, x=1 means switch to alpha. Reproduces
             DiscreteGroupCostFunction::computePairwiseCost (cpp:54-98):
             overlap of A's and B's template patches at their (possibly
             moved) positions, similarity of the label-deformed maps at A's
-            patch vertices."""
-            a = blocks_j[bid_safe, 0]
-            b = blocks_j[bid_safe, 1]
+            patch vertices. map_a/map_b: the two subjects' (L,D,Nt) label
+            maps. Also returns the patch-overflow count (pmax truncation)."""
             part = partner[a, b]                        # (K,)
             cur_a = lab_sk[a]                           # (K,)
             cur_b = lab_sk[b][part]                     # (K,)
             la2 = jnp.stack([cur_a, jnp.full_like(cur_a, alpha)], 1)  # (K,2)
             lb2 = jnp.stack([cur_b, jnp.full_like(cur_b, alpha)], 1)
 
+            lim_a = jnp.broadcast_to(
+                (st.cprange * spac_all[a])[:, None], (K, 2))
             pos_a = rl_all[a, jnp.arange(K)[:, None], la2]   # (K,2,3)
             pos_b = rl_all[b, part[:, None], lb2]            # (K,2,3)
-            idx_a, dist_a = patch_of(pos_a)                  # (K,2,pmax)
-            rng_a = dist_a < (st.cprange * spac_all[a])[:, None, None]
+            idx_a, dist_a, n_in = patch_of(pos_a, lim_a)     # (K,2,pmax)
+            rng_a = dist_a < lim_a[..., None]
+            overflow = jnp.sum(n_in > st.pmax)
 
             ta = st.tmpl_coords[idx_a]                       # (K,2,pmax,3)
             chord = jnp.linalg.norm(ta[:, :, None] - pos_b[:, None, :, None],
@@ -371,17 +429,17 @@ def make_fusion_fn(mesh: Mesh, st: GroupLevelStatics, S: int):
             rng_b = db < (st.cprange * spac_all[b][part])[:, None, None, None]
             overlap = rng_a[:, :, None] & rng_b              # (K,2pa,2pb,pmax)
 
-            D = maps_all.shape[2]
+            D = map_a.shape[1]
             dd = jnp.arange(D)
-            data_a = maps_all[a, la2[:, :, None, None], dd[None, None, :, None],
-                              idx_a[:, :, None, :]]          # (K,2,D,pmax)
+            data_a = map_a[la2[:, :, None, None], dd[None, None, :, None],
+                           idx_a[:, :, None, :]]             # (K,2,D,pmax)
             # B's data read at A's patch indices per (pa,pb) combo:
             # (K,2pa,2pb,D,pmax)
             data_a4 = jnp.broadcast_to(data_a[:, :, None],
                                        (K, 2, 2, D, st.pmax))
-            db_full = maps_all[b, lb2[:, None, :, None, None],
-                               dd[None, None, None, :, None],
-                               idx_a[:, :, None, None, :]]   # (K,2,2,D,pmax)
+            db_full = map_b[lb2[:, None, :, None, None],
+                            dd[None, None, None, :, None],
+                            idx_a[:, :, None, None, :]]      # (K,2,2,D,pmax)
             if st.mask_w is not None:
                 w = st.mask_w[idx_a][:, :, None, None, :]
                 w = jnp.broadcast_to(w, data_a4.shape)
@@ -394,7 +452,82 @@ def make_fusion_fn(mesh: Mesh, st: GroupLevelStatics, S: int):
             cost = per_dim.mean(axis=-1)                     # (K,2,2)
             if st.fixnan:
                 cost = jnp.where(jnp.isnan(cost), FIX_NAN, cost)
-            return cost.reshape(K, 4)
+            return cost.reshape(K, 4), overflow
+
+        def build_p4_gather(alpha, lab_sk):
+            # round-robin pair blocks over devices, disjoint psum
+            def p_slot(slot):
+                bid = pair_slots[shard, slot]
+                bid_safe = jnp.maximum(bid, 0)
+                a = blocks_j[bid_safe, 0]
+                b = blocks_j[bid_safe, 1]
+                blockv, ovf = pair_block_cost(a, b, maps_all[a], maps_all[b],
+                                              lab_sk, alpha)
+                valid = bid >= 0
+                return (jnp.where(valid, blockv, 0.0), bid_safe,
+                        jnp.where(valid, ovf, 0))
+
+            n_ps = pair_slots.shape[1]
+            pvals, pids, povf = jax.lax.map(p_slot, jnp.arange(n_ps))
+            p4 = jnp.zeros((B, K, 4), pvals.dtype)
+            p4 = p4.at[pids].add(pvals)
+            return p4, jnp.sum(povf)
+
+        def build_p4_ring(alpha, lab_sk):
+            """Ring maps exchange: per-device maps memory O(S/n_dev). Step
+            r holds the block of shard (shard-r) mod n_dev; pair blocks
+            between resident and visiting subjects are computed with the
+            SAME pair_block_cost as the gather path and added to their own
+            disjoint p4 slots."""
+            p4 = jnp.zeros((B, K, 4), jnp.float32)
+            ovf_tot = jnp.zeros((), jnp.int32)
+            visiting = maps_loc
+            perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+            for r in range(n_ring_steps):
+                v_shard = (shard - r) % n_dev
+
+                if r == 0:
+                    def one0(ij):
+                        i, j = ij[0], ij[1]
+                        valid = i >= 0
+                        i_s, j_s = jnp.maximum(i, 0), jnp.maximum(j, 0)
+                        a = shard * nl + i_s
+                        b = shard * nl + j_s
+                        blockv, ovf = pair_block_cost(
+                            a, b, maps_loc[i_s], maps_loc[j_s], lab_sk, alpha)
+                        bid = jnp.where(valid, _block_id(a, b, S), 0)
+                        return (jnp.where(valid, blockv, 0.0), bid,
+                                jnp.where(valid, ovf, 0))
+                    pvals, pids, povf = jax.lax.map(one0, ring_ij0)
+                else:
+                    # even-n_dev antipodal step: both shard pairs hold each
+                    # other; dedup by shard order
+                    tie = (2 * r == n_dev)
+
+                    def one(ij):
+                        i, j = ij[0], ij[1]
+                        ga = shard * nl + i             # resident subject
+                        gb = v_shard * nl + j           # visiting subject
+                        swap = gb < ga
+                        a = jnp.minimum(ga, gb)
+                        b = jnp.maximum(ga, gb)
+                        m_own = maps_loc[i]
+                        m_vis = visiting[j]
+                        map_a = jnp.where(swap, m_vis, m_own)
+                        map_b = jnp.where(swap, m_own, m_vis)
+                        blockv, ovf = pair_block_cost(a, b, map_a, map_b,
+                                                      lab_sk, alpha)
+                        valid = (shard < v_shard) if tie else True
+                        bid = jnp.where(valid, _block_id(a, b, S), 0)
+                        return (jnp.where(valid, blockv, 0.0), bid,
+                                jnp.where(valid, ovf, 0))
+                    pvals, pids, povf = jax.lax.map(one, ring_ij)
+
+                p4 = p4.at[pids].add(pvals)
+                ovf_tot = ovf_tot + jnp.sum(povf)
+                if r + 1 < n_ring_steps:
+                    visiting = jax.lax.ppermute(visiting, "subjects", perm)
+            return p4, ovf_tot
 
         def build_tables_for(alpha, lab_sk):
             # t8: round-robin subject blocks, disjoint psum
@@ -410,20 +543,12 @@ def make_fusion_fn(mesh: Mesh, st: GroupLevelStatics, S: int):
             t8 = t8.at[tids].add(tvals)       # duplicates impossible: slots
             t8 = jax.lax.psum(t8, "subjects").reshape(S * T, 8)
 
-            # p4: round-robin pair blocks, disjoint psum
-            def p_slot(slot):
-                bid = pair_slots[shard, slot]
-                bid_safe = jnp.maximum(bid, 0)
-                blockv = one_pair_block(bid_safe, rl_all, maps_all, spac_all,
-                                        lab_sk, partner, alpha)
-                return jnp.where(bid >= 0, blockv, 0.0), bid_safe
-
-            n_ps = pair_slots.shape[1]
-            pvals, pids = jax.lax.map(p_slot, jnp.arange(n_ps))
-            p4 = jnp.zeros((B, K, 4), pvals.dtype)
-            p4 = p4.at[pids].add(pvals)
+            p4, ovf = (build_p4_gather(alpha, lab_sk)
+                       if maps_exchange == "gather"
+                       else build_p4_ring(alpha, lab_sk))
             p4 = jax.lax.psum(p4, "subjects").reshape(B * K, 4)
-            return t8, p4
+            ovf = jax.lax.psum(ovf, "subjects")
+            return t8, p4, ovf
 
         # global triplet / pair endpoint tables for the replicated ICM
         trip_nodes = (st.cp_faces[None] + (jnp.arange(S) * K)[:, None, None]
@@ -447,7 +572,7 @@ def make_fusion_fn(mesh: Mesh, st: GroupLevelStatics, S: int):
 
         def alpha_step(labeling, alpha):
             lab_sk = labeling.reshape(S, K)
-            t8, p4 = build_tables_for(alpha, lab_sk)
+            t8, p4, ovf = build_tables_for(alpha, lab_sk)
             N = S * K
             starts = [jnp.zeros((N,), jnp.int32), jnp.ones((N,), jnp.int32)]
             if st.n_restarts > 0:
@@ -469,18 +594,21 @@ def make_fusion_fn(mesh: Mesh, st: GroupLevelStatics, S: int):
 
             es = jax.vmap(benergy)(xs)
             x = xs[jnp.argmin(es)]
-            return jnp.where(x == 1, alpha, labeling)
+            return jnp.where(x == 1, alpha, labeling), ovf
 
-        def body(i, labeling):
-            return alpha_step(labeling, i % L)
+        def body(i, carry):
+            labeling, ovf_acc = carry
+            labeling, ovf = alpha_step(labeling, i % L)
+            return labeling, ovf_acc + ovf
 
-        labeling = jax.lax.fori_loop(0, st.sweeps * L, body, labeling)
+        labeling, overflow = jax.lax.fori_loop(
+            0, st.sweeps * L, body, (labeling, jnp.zeros((), jnp.int32)))
 
         # final energy at the new labeling: combo-0 ("keep all") sums of a
         # fresh table build (alpha value irrelevant for combo 0)
-        t8f, p4f = build_tables_for(0, labeling.reshape(S, K))
+        t8f, p4f, ovf_f = build_tables_for(0, labeling.reshape(S, K))
         energy = jnp.sum(t8f[:, 0]) + jnp.sum(p4f[:, 0])
-        return labeling, energy
+        return labeling, energy, overflow + ovf_f
 
     from jax import shard_map
     pspec = P("subjects")
@@ -488,7 +616,7 @@ def make_fusion_fn(mesh: Mesh, st: GroupLevelStatics, S: int):
         run, mesh=mesh,
         in_specs=(pspec, pspec, pspec, P(), P(),
                   GroupIterTables(*([P()] * 6))),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), P()),
         check_vma=False,
     ))
 

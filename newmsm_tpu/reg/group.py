@@ -56,6 +56,12 @@ class GroupMeshRegistration:
         self.debug = False
         self.energy_log: list = []
         self.metrics_path: Optional[str] = None   # JSONL per-iteration metrics
+        # cross-subject maps exchange: 'gather' (bytes-optimal, replicates
+        # the (S,L,D,Nt) maps tensor), 'ring' (per-device maps memory
+        # O(S/n_dev) via ppermute, sweeps*L x the communication), or 'auto'
+        # (ring only when the gathered tensor would exceed maps_memory_budget)
+        self.maps_exchange = "auto"
+        self.maps_memory_budget = 2 << 30         # bytes, for 'auto'
 
     def _log_metrics(self, **kw):
         """Structured observability (SURVEY §5), same JSONL contract as the
@@ -204,11 +210,20 @@ class GroupMeshRegistration:
                                      dg_topology, cap)
         self._partner_fn = make_partner_fn(self.device_mesh,
                                            self.level_statics, S)
+        exchange = self.maps_exchange
+        if exchange == "auto":
+            D = max(d.shape[0] for d in self.datasets)
+            maps_bytes = S * len(labels) * D * nt * 4
+            exchange = ("ring" if maps_bytes > self.maps_memory_budget
+                        else "gather")
+        self._maps_exchange_used = exchange
         self._fusion_fn = make_fusion_fn(self.device_mesh,
-                                         self.level_statics, S)
+                                         self.level_statics, S,
+                                         maps_exchange=exchange)
         if self.verbose:
             print(f"   S={S} K={K} labels={len(labels)} pmax={self.pmax} "
-                  f"devices={self.device_mesh.devices.size}")
+                  f"devices={self.device_mesh.devices.size} "
+                  f"maps_exchange={exchange}")
 
     def _select_mesh(self, S: int):
         """1-D 'subjects' device mesh: the largest device count that divides
@@ -274,19 +289,29 @@ class GroupMeshRegistration:
 
             t1 = _time.perf_counter()
             labeling0 = jnp.zeros((S * K,), jnp.int32)
-            labeling, energy_dev = self._fusion_fn(
+            labeling, energy_dev, overflow_dev = self._fusion_fn(
                 maps, cp, spac, labeling0, jnp.asarray(partner), tables)
             newenergy = float(energy_dev)
+            patch_overflow = int(overflow_dev)
             labeling = np.asarray(labeling)
             t2 = _time.perf_counter()
             self.energy_log.append((self.level, it, newenergy))
             changed = float((labeling != 0).mean())
+            if patch_overflow:
+                # pmax truncated at least one in-range template patch —
+                # pair costs silently dropped vertices the reference would
+                # include (group_fusion.patch_of); raise pmax next level
+                print(f"WARNING groupwise level {self.level} iter {it}: "
+                      f"{patch_overflow} (CP,label) patches exceeded "
+                      f"pmax={self.pmax} and were truncated")
             if self.verbose:
                 print(f"  iter {it}: energy {newenergy:.4f} "
                       f"({changed:.0%} nodes moved)  "
                       f"[setup {t1 - t0:.2f}s opt {t2 - t1:.2f}s]")
             self._log_metrics(event="iter", level=self.level, iter=it,
                               energy=newenergy, changed=changed,
+                              patch_overflow=patch_overflow,
+                              maps_exchange=self._maps_exchange_used,
                               devices=int(self.device_mesh.devices.size),
                               setup_s=round(t1 - t0, 4),
                               opt_s=round(t2 - t1, 4))

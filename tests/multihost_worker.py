@@ -53,7 +53,7 @@ def main():
     partner = np.asarray(partner_g)
     tables = build_iteration_tables(partner, trip, S, K)
 
-    labeling, energy = make_fusion_fn(mesh, st, S)(
+    labeling, energy, _ovf = make_fusion_fn(mesh, st, S)(
         maps_g, cp_g, spac_g, jnp.zeros((S * K,), jnp.int32),
         jnp.asarray(partner), tables)
     lab = np.asarray(labeling)

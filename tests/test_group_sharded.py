@@ -71,7 +71,7 @@ class TestOptimiserShardInvariance:
             mapsd = jax.device_put(jnp.asarray(maps), sh)
             partner = np.asarray(make_partner_fn(mesh, st, S)(cpd))
             tables = build_iteration_tables(partner, trip, S, K)
-            labeling, energy = make_fusion_fn(mesh, st, S)(
+            labeling, energy, _ovf = make_fusion_fn(mesh, st, S)(
                 mapsd, cpd, spacd, lab0, jnp.asarray(partner), tables)
             results[nd] = (np.asarray(labeling), float(energy), partner)
 
@@ -83,6 +83,82 @@ class TestOptimiserShardInvariance:
             np.testing.assert_array_equal(part1, partn)
             np.testing.assert_array_equal(lab1, labn)
             assert e1 == en, (e1, en)
+
+    def test_ring_exchange_matches_gather_all_device_counts(self):
+        """maps_exchange='ring' (per-device maps memory O(S/n_dev), ppermute
+        block rotation) produces the same labelings/energies as the gather
+        path for every device count (VERDICT round-2 item #2)."""
+        S = 8
+        st, trip, maps, cp, spac, K, L = build_problem(S, seed=5)
+        lab0 = jnp.zeros((S * K,), jnp.int32)
+        ref = None
+        for nd in (1, 2, 4, 8):
+            mesh = JMesh(np.array(jax.devices()[:nd]), ("subjects",))
+            sh = NamedSharding(mesh, P("subjects"))
+            cpd = jax.device_put(jnp.asarray(cp), sh)
+            spacd = jax.device_put(jnp.asarray(spac), sh)
+            mapsd = jax.device_put(jnp.asarray(maps), sh)
+            partner = np.asarray(make_partner_fn(mesh, st, S)(cpd))
+            tables = build_iteration_tables(partner, trip, S, K)
+            args = (mapsd, cpd, spacd, lab0, jnp.asarray(partner), tables)
+            lg, eg, _ = make_fusion_fn(mesh, st, S, maps_exchange="gather")(*args)
+            lr, er, _ = make_fusion_fn(mesh, st, S, maps_exchange="ring")(*args)
+            np.testing.assert_array_equal(np.asarray(lg), np.asarray(lr))
+            assert float(eg) == float(er), (nd, float(eg), float(er))
+            if ref is None:
+                ref = (np.asarray(lg), float(eg))
+            else:
+                np.testing.assert_array_equal(ref[0], np.asarray(lg))
+                assert ref[1] == float(eg)
+
+    def test_ring_program_never_materialises_full_maps(self):
+        """Structural guarantee for the O(S/n_dev) memory claim: the ring
+        program's HLO contains no full (S,L,D,Nt) maps-shaped all-gather,
+        while the gather program does."""
+        S = 8
+        nd = 4
+        st, trip, maps, cp, spac, K, L = build_problem(S, seed=5)
+        lab0 = jnp.zeros((S * K,), jnp.int32)
+        mesh = JMesh(np.array(jax.devices()[:nd]), ("subjects",))
+        sh = NamedSharding(mesh, P("subjects"))
+        cpd = jax.device_put(jnp.asarray(cp), sh)
+        spacd = jax.device_put(jnp.asarray(spac), sh)
+        mapsd = jax.device_put(jnp.asarray(maps), sh)
+        partner = np.asarray(make_partner_fn(mesh, st, S)(cpd))
+        tables = build_iteration_tables(partner, trip, S, K)
+        args = (mapsd, cpd, spacd, lab0, jnp.asarray(partner), tables)
+
+        Nt = maps.shape[-1]
+        full_shape = f"f32[{S},{L},1,{Nt}]"     # the replicated maps tensor
+        hlo_ring = make_fusion_fn(mesh, st, S, maps_exchange="ring"
+                                  ).lower(*args).compile().as_text()
+        hlo_gather = make_fusion_fn(mesh, st, S, maps_exchange="gather"
+                                    ).lower(*args).compile().as_text()
+        ring_gathers = [l for l in hlo_ring.splitlines()
+                        if "all-gather" in l and full_shape in l]
+        gather_gathers = [l for l in hlo_gather.splitlines()
+                          if "all-gather" in l and full_shape in l]
+        assert not ring_gathers, ring_gathers[:2]
+        assert gather_gathers, "gather path should all-gather the maps"
+        assert "collective-permute" in hlo_ring
+
+    def test_patch_overflow_counter(self):
+        """A deliberately tight pmax must be detected and counted, not
+        silently truncated (VERDICT round-2 item #8)."""
+        S = 4
+        st, trip, maps, cp, spac, K, L = build_problem(S, seed=1)
+        lab0 = jnp.zeros((S * K,), jnp.int32)
+        mesh = JMesh(np.array(jax.devices()[:1]), ("subjects",))
+        partner = np.asarray(make_partner_fn(mesh, st, S)(jnp.asarray(cp)))
+        tables = build_iteration_tables(partner, trip, S, K)
+        args = (jnp.asarray(maps), jnp.asarray(cp), jnp.asarray(spac), lab0,
+                jnp.asarray(partner), tables)
+
+        _, _, ovf_ok = make_fusion_fn(mesh, st, S)(*args)
+        st_tight = st._replace(pmax=2)      # patches are far bigger than 2
+        _, _, ovf_tight = make_fusion_fn(mesh, st_tight, S)(*args)
+        assert int(ovf_ok) == 0, int(ovf_ok)
+        assert int(ovf_tight) > 0
 
     def test_partner_matches_host_closest_vertex(self):
         """Device-side estimate_pairs == the host closest_vertex loop the
@@ -104,6 +180,34 @@ class TestOptimiserShardInvariance:
                 ref = np.asarray(closest_vertex(
                     jnp.asarray(cp[a], jnp.float32), tabs))
                 np.testing.assert_array_equal(partner[a, b], ref, err_msg=f"{a},{b}")
+
+    def test_partner_respects_strong_deformation(self):
+        """Regression: the partner search must answer on the DEFORMED CP
+        grids (DiscreteGroupModel.cpp:37-55). A stale pristine_res on the
+        swapped-coords tables silently answered on the pristine icosphere —
+        only caught under deformations big enough to change the Voronoi
+        assignment."""
+        from newmsm_tpu.ops.nearest import build_tables, closest_vertex
+        S = 2
+        st, trip, maps, cp, spac, K, L = build_problem(S, seed=7)
+        control = Mesh.from_icosphere(1)
+        control.true_rescale(100.0)
+        rng = np.random.default_rng(11)
+        cp = np.broadcast_to(np.asarray(control.coords, np.float32),
+                             (S, K, 3)).copy()
+        cp += rng.normal(size=cp.shape).astype(np.float32) * 25.0
+        cp /= np.linalg.norm(cp, axis=-1, keepdims=True) / 100.0
+
+        mesh = JMesh(np.array(jax.devices()[:1]), ("subjects",))
+        partner = np.asarray(make_partner_fn(mesh, st, S)(jnp.asarray(cp)))
+        for a in range(S):
+            for b in range(S):
+                tabs = build_tables(cp[b], control.faces,
+                                    control.adjacency[2])
+                ref = np.asarray(closest_vertex(
+                    jnp.asarray(cp[a], jnp.float32), tabs))
+                np.testing.assert_array_equal(partner[a, b], ref,
+                                              err_msg=f"{a},{b}")
 
 
 class TestDriverShardInvariance:

@@ -72,7 +72,7 @@ class TestTwoProcessBringup:
         cpd = jax.device_put(jnp.asarray(cp), sh)
         partner = np.asarray(make_partner_fn(mesh, st, S)(cpd))
         tables = build_iteration_tables(partner, trip, S, K)
-        labeling, energy = make_fusion_fn(mesh, st, S)(
+        labeling, energy, _ovf = make_fusion_fn(mesh, st, S)(
             jax.device_put(jnp.asarray(maps), sh), cpd,
             jax.device_put(jnp.asarray(spac), sh),
             jnp.zeros((S * K,), jnp.int32), jnp.asarray(partner), tables)

@@ -108,7 +108,7 @@ class TestMultihost:
         cpd = mh.shard_subjects(jnp.asarray(cp), mesh)
         partner = np.asarray(make_partner_fn(mesh, st, S)(cpd))
         tables = build_iteration_tables(partner, trip, S, K)
-        labeling, energy = make_fusion_fn(mesh, st, S)(
+        labeling, energy, _ovf = make_fusion_fn(mesh, st, S)(
             mh.shard_subjects(jnp.asarray(maps), mesh), cpd,
             mh.shard_subjects(jnp.asarray(spac), mesh),
             jnp.zeros((S * K,), jnp.int32), jnp.asarray(partner), tables)

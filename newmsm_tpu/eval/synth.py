@@ -1,0 +1,108 @@
+"""Synthetic cortical-map cohorts with HCP-like statistics.
+
+The reference validates registration quality on HCP sulc/curv data
+(docs/guide.md:429-440); that data cannot ship with this repo, so the
+quality-parity harness (scripts/parity_harness.py, tests/test_parity.py)
+generates cohorts whose statistics mimic it:
+
+  * ``sulc``-like channel: band-limited smooth field (angular wavelengths
+    ~45-120 deg — primary folding pattern scale),
+  * ``curv``-like channel: higher-frequency field (~15-35 deg) mixed with
+    the sulc gradient direction, so the two channels are correlated the way
+    curvature ridges follow sulcal banks,
+  * per-subject anatomy: the group pattern composed with a smooth random
+    spherical warp (the residual misalignment left after affine alignment,
+    a few degrees of arc) plus smooth idiosyncratic "noise" folds, which
+    bound the achievable group CC below 1 exactly like real subjects do.
+
+All fields are analytic (sums of plane-wave sinusoids evaluated at unit
+coordinates), so subject data can be sampled exactly at warped positions —
+no resampling error enters the ground truth.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.mesh import Mesh
+
+RAD = 100.0
+
+
+def _wave_field(unit: np.ndarray, rng: np.random.Generator, n_terms: int,
+                kmin: float, kmax: float) -> np.ndarray:
+    """Sum of random plane-wave sinusoids with |k| in [kmin,kmax] (angular
+    frequency in cycles per half-turn), unit-variance."""
+    out = np.zeros(unit.shape[0])
+    for _ in range(n_terms):
+        k = rng.normal(size=3)
+        k *= rng.uniform(kmin, kmax) / np.linalg.norm(k)
+        phase = rng.uniform(0, 2 * np.pi)
+        out += rng.normal() * np.sin(unit @ k * np.pi + phase)
+    s = out.std()
+    return out / (s if s > 0 else 1.0)
+
+
+class GroupPattern:
+    """Analytic group-mean cortical pattern: evaluate (sulc, curv) at any
+    set of unit directions."""
+
+    def __init__(self, seed: int = 0, n_terms: int = 24):
+        self._seed = seed
+        self._n = n_terms
+
+    def __call__(self, unit: np.ndarray) -> np.ndarray:
+        rng_s = np.random.default_rng((self._seed, 1))
+        rng_c = np.random.default_rng((self._seed, 2))
+        sulc = _wave_field(unit, rng_s, self._n, 1.5, 4.0)
+        hf = _wave_field(unit, rng_c, self._n, 6.0, 12.0)
+        # curvature partially tracks the sulcal pattern's fine structure
+        curv = 0.55 * hf + 0.45 * _wave_field(unit, np.random.default_rng(
+            (self._seed, 3)), self._n, 4.0, 8.0) * np.sign(sulc)
+        return np.stack([sulc, curv / max(curv.std(), 1e-9)])
+
+
+def smooth_sphere_warp(unit: np.ndarray, seed: int,
+                       amplitude_deg: float = 6.0) -> np.ndarray:
+    """Smooth random warp of the unit sphere: a low-frequency tangential
+    displacement field, renormalised. Amplitude is the RMS arc displacement
+    in degrees (HCP post-affine residual misalignment scale)."""
+    rng = np.random.default_rng((seed, 77))
+    disp = np.stack([_wave_field(unit, rng, 8, 0.8, 2.0) for _ in range(3)],
+                    axis=1)
+    # project to the tangent plane so the warp is (approximately) a rotation
+    # field rather than radial noise
+    disp -= unit * np.sum(disp * unit, axis=1, keepdims=True)
+    rms = np.sqrt((disp ** 2).sum(axis=1).mean())
+    disp *= np.radians(amplitude_deg) / max(rms, 1e-9)
+    warped = unit + disp
+    return warped / np.linalg.norm(warped, axis=1, keepdims=True)
+
+
+def synth_cohort(res: int, n_subjects: int, seed: int = 0,
+                 warp_deg: float = 6.0, noise: float = 0.35):
+    """Build a cohort of n_subjects (mesh, (2,N) data) on the ico-`res`
+    sphere plus the (2,N) group-template data.
+
+    Subject s's data = group_pattern(warp_s(x)) + noise * idiosyncratic(x):
+    registration should recover (approximately) warp_s^{-1}. Returns
+    (meshes, datasets, template_data)."""
+    sphere = Mesh.from_icosphere(res)
+    sphere.true_rescale(RAD)
+    unit = np.asarray(sphere.coords) / RAD
+    pattern = GroupPattern(seed)
+
+    template_data = pattern(unit)
+
+    meshes, datasets = [], []
+    for s in range(n_subjects):
+        w = smooth_sphere_warp(unit, seed=seed * 1000 + s, amplitude_deg=warp_deg)
+        data = pattern(w)
+        rng = np.random.default_rng((seed, s, 5))
+        for d in range(2):
+            idio = _wave_field(unit, rng, 12, 2.0 if d == 0 else 6.0,
+                               5.0 if d == 0 else 12.0)
+            data[d] = data[d] + noise * idio
+            data[d] /= data[d].std()
+        meshes.append(Mesh(coords=sphere.coords.copy(), faces=sphere.faces))
+        datasets.append(data)
+    return meshes, datasets, template_data

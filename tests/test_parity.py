@@ -1,0 +1,133 @@
+"""Registration-quality regression gates (VERDICT round-2 item #3).
+
+Mini-scale version of scripts/parity_harness.py: a synthetic HCP-like
+cohort (eval/synth.py) pushed through the REAL typical (pairwise,
+config_standard_MSM_strain structure) and groupwise (gMSM tutorial config
+structure) paths, scored with the reference's compare_stats.py protocol
+(eval/metrics.py). Hard thresholds — not "after > before" — so quality
+regressions fail CI. Full-scale numbers are tracked in PARITY_RESULTS.md.
+"""
+import numpy as np
+import pytest
+
+from newmsm_tpu.core.mesh import Mesh
+from newmsm_tpu.eval import metrics
+from newmsm_tpu.eval.synth import synth_cohort
+from newmsm_tpu.reg.config import RegConfig
+
+
+S, RES = 4, 3
+
+
+@pytest.fixture(scope="module")
+def cohort():
+    meshes, datasets, template_data = synth_cohort(RES, S, seed=0,
+                                                   warp_deg=6.0)
+    template = Mesh.from_icosphere(RES)
+    template.true_rescale(100.0)
+    return meshes, datasets, template, template_data
+
+
+def channel_stats(maps):
+    out = {}
+    for d, name in enumerate(("sulc", "curv")):
+        ch = [m[d] for m in maps]
+        out[f"cc_{name}"] = metrics.mean_pairwise_cc(ch)
+        out[f"dice_{name}"] = metrics.mean_pairwise_dice(ch)
+    return out
+
+
+def typical_config():
+    # config_standard_MSM_strain structure at ico-3 scale
+    cfg = RegConfig()
+    cfg.cost = ["AFFINE", "DISCRETE", "DISCRETE"]
+    cfg.simval = [2, 2, 2]
+    cfg.iters = [10, 3, 3]
+    cfg.sigma_in = [2.0, 2.0, 1.0]
+    cfg.sigma_ref = [2.0, 2.0, 1.0]
+    cfg.reglambda = [0.0, 0.2, 0.2]
+    cfg.datagrid = [3, 3, 3]
+    cfg.cpgrid = [0, 1, 2]
+    cfg.sampgrid = [0, 3, 4]
+    cfg.anatgrid = [3, 3, 3]
+    cfg.mciters = [0, 0, 0]
+    cfg.dopt = "HOCR"
+    cfg.regmode = 3
+    cfg.variance_norm = True
+    return cfg
+
+
+def groupwise_config():
+    # gMSM tutorial config structure at ico-3 scale
+    cfg = RegConfig()
+    cfg.cost = ["DISCRETE", "DISCRETE"]
+    cfg.simval = [2, 2]
+    cfg.iters = [4, 4]
+    cfg.sigma_in = [0.0, 0.0]
+    cfg.sigma_ref = [0.0, 0.0]
+    cfg.reglambda = [0.2, 0.2]
+    cfg.datagrid = [3, 3]
+    cfg.cpgrid = [1, 2]
+    cfg.sampgrid = [3, 4]
+    cfg.anatgrid = [3, 3]
+    cfg.mciters = [0, 0]
+    cfg.dopt = "HOCR"
+    cfg.regmode = 3
+    return cfg
+
+
+class TestQualityParity:
+    def test_typical_and_groupwise_thresholds(self, cohort, tmp_path):
+        from newmsm_tpu.pipelines.gmsm import run_gmsm
+        from newmsm_tpu.reg.driver import MeshRegistration
+
+        meshes, datasets, template, template_data = cohort
+        before = channel_stats(datasets)
+
+        # ---- typical: subject -> template pairwise ----
+        t_maps, t_dists = [], []
+        for s in range(S):
+            mr = MeshRegistration()
+            mr.set_input(meshes[s].copy())
+            mr.set_reference(meshes[s].copy())
+            mr.set_input_data(datasets[s])
+            mr.set_reference_data(template_data)
+            mr.outdir = str(tmp_path / f"t{s}.")
+            mr.run_multiresolutions(typical_config())
+            t_maps.append(np.asarray(mr.transformed_data))
+            areal, shape = metrics.distortion_maps(mr.in_mesh,
+                                                   mr.warped_input)
+            t_dists.append(metrics.distortion_stats(areal, shape))
+        typical = channel_stats(t_maps)
+
+        # ---- groupwise gMSM + dedrift ----
+        res = run_gmsm([m.copy() for m in meshes],
+                       [d.copy() for d in datasets], template,
+                       groupwise_config(), dedrift_warps=True)
+        group = channel_stats(res.resampled_data)
+        g_dists = [metrics.distortion_stats(*metrics.distortion_maps(
+            meshes[s], res.dedrifted_spheres[s])) for s in range(S)]
+
+        # ---- hard gates (set below the 2026-08-19 calibration values so
+        # genuine regressions fail while numeric jitter passes) ----
+        # measured at calibration: before cc_sulc 0.691 / cc_curv 0.176;
+        # typical cc_sulc 0.746 dice 0.648 areal 0.148;
+        # groupwise cc_sulc 0.865 dice 0.717 cc_curv 0.524 areal 0.217
+        assert typical["cc_sulc"] > before["cc_sulc"] + 0.03
+        assert typical["cc_sulc"] >= 0.72, typical
+        assert typical["dice_sulc"] >= 0.58, typical
+        assert group["cc_sulc"] >= 0.75, group
+        assert group["dice_sulc"] >= 0.60, group
+        assert group["cc_curv"] >= before["cc_curv"] + 0.05, (before, group)
+
+        # distortion bounded: mean |log2 areal| below the reference's
+        # published groupwise level plus headroom (guide.md:437-439)
+        t_areal = np.mean([d["areal_mean"] for d in t_dists])
+        g_areal = np.mean([d["areal_mean"] for d in g_dists])
+        assert t_areal <= 0.45, t_areal
+        assert g_areal <= 0.60, g_areal
+
+        # warps stay fold-free (the sanitizer gate)
+        from newmsm_tpu.ops.unfold import count_folds
+        for m in res.dedrifted_spheres:
+            assert count_folds(m) == 0

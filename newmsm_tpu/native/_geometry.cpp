@@ -421,6 +421,54 @@ static PyObject* nearest_triangle_bvh(PyObject*, PyObject* args) {
     return (PyObject*)out;
 }
 
+/* greedy_color(row_ptr (N+1,) int64, col (E,) int32) -> (N,) int32
+ *
+ * Sequential first-fit graph coloring in node order 0..N-1 — identical
+ * output to the Python loop it replaces (parallel/group_fusion.py
+ * build_iteration_tables), hoisted to C++ because the groupwise driver
+ * recolors S*K nodes every outer iteration (~164k nodes at cgMSM scale). */
+static PyObject* greedy_color(PyObject*, PyObject* args) {
+    PyObject *row_obj, *col_obj;
+    if (!PyArg_ParseTuple(args, "OO", &row_obj, &col_obj)) return nullptr;
+    PyArrayObject* row = (PyArrayObject*)PyArray_FROM_OTF(
+        row_obj, NPY_INT64, NPY_ARRAY_IN_ARRAY);
+    PyArrayObject* col = (PyArrayObject*)PyArray_FROM_OTF(
+        col_obj, NPY_INT32, NPY_ARRAY_IN_ARRAY);
+    if (!row || !col) {
+        Py_XDECREF(row);
+        Py_XDECREF(col);
+        return nullptr;
+    }
+    const npy_intp n = PyArray_DIM(row, 0) - 1;
+    const int64_t* rp = (const int64_t*)PyArray_DATA(row);
+    const int32_t* cl = (const int32_t*)PyArray_DATA(col);
+
+    npy_intp dims[1] = {n};
+    PyArrayObject* out = (PyArrayObject*)PyArray_SimpleNew(1, dims, NPY_INT32);
+    if (!out) {
+        Py_DECREF(row);
+        Py_DECREF(col);
+        return nullptr;
+    }
+    int32_t* colors = (int32_t*)PyArray_DATA(out);
+
+    std::vector<int64_t> stamp(256, -1);  // color -> last node that used it
+    for (npy_intp v = 0; v < n; ++v) {
+        for (int64_t e = rp[v]; e < rp[v + 1]; ++e) {
+            if (cl[e] >= v) continue;     // not yet colored (order 0..n-1)
+            int32_t c = colors[cl[e]];
+            if (c >= 0 && c < (int32_t)stamp.size()) stamp[c] = v;
+        }
+        int32_t c = 0;
+        while (c < (int32_t)stamp.size() && stamp[c] == (int64_t)v) ++c;
+        colors[v] = c;
+    }
+
+    Py_DECREF(row);
+    Py_DECREF(col);
+    return (PyObject*)out;
+}
+
 static PyMethodDef methods[] = {
     {"adjacency", adjacency, METH_VARARGS,
      "adjacency(faces, nverts) -> (nbr_idx, nbr_cnt, tri_idx, tri_cnt)"},
@@ -430,6 +478,8 @@ static PyMethodDef methods[] = {
      "bfs_ball(nbr_idx, n_coarse, depth) -> (n_coarse,C) graph-ball table"},
     {"nearest_triangle_bvh", nearest_triangle_bvh, METH_VARARGS,
      "nearest_triangle_bvh(coords, faces, queries) -> (Q,) triangle ids"},
+    {"greedy_color", greedy_color, METH_VARARGS,
+     "greedy_color(row_ptr, col) -> (N,) first-fit colors, node order"},
     {nullptr, nullptr, 0, nullptr}};
 
 static struct PyModuleDef moduledef = {

@@ -117,29 +117,79 @@ def _pad_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _triplet_incidence(cp_faces: np.ndarray, K: int):
+    """Vectorised per-vertex (triplet id, corner) incidence lists,
+    -1 padded: (K,mt) x2."""
+    T = cp_faces.shape[0]
+    tids = np.repeat(np.arange(T, dtype=np.int64), 3)
+    corners = np.tile(np.arange(3, dtype=np.int32), T)
+    verts = cp_faces.reshape(-1).astype(np.int64)
+    order = np.argsort(verts, kind="stable")
+    v_s, t_s, c_s = verts[order], tids[order], corners[order]
+    counts = np.bincount(v_s, minlength=K)
+    mt = max(1, int(counts.max()))
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.arange(len(v_s)) - starts[v_s]
+    vert_tri1 = np.full((K, mt), -1, np.int32)
+    vert_corner1 = np.zeros((K, mt), np.int32)
+    vert_tri1[v_s, pos] = t_s
+    vert_corner1[v_s, pos] = c_s
+    return vert_tri1, vert_corner1
+
+
+def _greedy_color(src_sorted: np.ndarray, dst_sorted: np.ndarray,
+                  N: int) -> np.ndarray:
+    """First-fit coloring in node order over a CSR edge list (sorted by
+    src). Native C++ when built (~ms at cgMSM scale); Python fallback has
+    identical output."""
+    deg = np.bincount(src_sorted, minlength=N)
+    row = np.concatenate([[0], np.cumsum(deg)]).astype(np.int64)
+    try:
+        from ..native import _geometry
+        if _geometry is not None and hasattr(_geometry, "greedy_color"):
+            return _geometry.greedy_color(row, dst_sorted.astype(np.int32))
+    except ImportError:
+        pass
+    colors = np.full(N, -1, np.int32)
+    stamp = np.full(256, -1, np.int64)
+    for n in range(N):
+        nb = dst_sorted[row[n]:row[n + 1]]
+        cs = colors[nb]
+        stamp[cs[cs >= 0]] = n
+        c = 0
+        while stamp[c] == n:
+            c += 1
+        colors[n] = c
+    return colors
+
+
+# per-level memo: the partner map usually stabilises after the first
+# iterations, and rebuilding tables is pure host work
+_ITER_TABLE_CACHE: dict = {}
+_ITER_TABLE_CACHE_MAX = 8
+
+
 def build_iteration_tables(partner: np.ndarray, cp_faces: np.ndarray,
                            S: int, K: int) -> GroupIterTables:
     """Incidence lists + conflict-free node coloring for the groupwise MRF:
     nodes (s,k), per-subject triplet cliques, cross-subject pair edges
     (a*K+v, b*K+partner[a,b,v]). Shapes are padded to buckets so the jitted
-    fusion program is stable across iterations."""
+    fusion program is stable across iterations. Results are memoised on the
+    partner map (it stabilises as the registration converges)."""
+    key = (S, K, cp_faces.shape[0],
+           hash(np.ascontiguousarray(partner).tobytes()))
+    hit = _ITER_TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+
     blocks = pair_blocks(S)
     B = blocks.shape[0]
     N = S * K
     T = cp_faces.shape[0]
 
     # ---- triplet incidence: per-subject copy of the CP incidence ---------
-    vt: list[list[tuple[int, int]]] = [[] for _ in range(K)]
-    for t, tri in enumerate(cp_faces):
-        for corner, v in enumerate(tri):
-            vt[int(v)].append((t, corner))
-    mt = max(1, max(len(x) for x in vt))
-    vert_tri1 = np.full((K, mt), -1, np.int32)
-    vert_corner1 = np.zeros((K, mt), np.int32)
-    for v, lst in enumerate(vt):
-        for i, (t, c) in enumerate(lst):
-            vert_tri1[v, i] = t
-            vert_corner1[v, i] = c
+    vert_tri1, vert_corner1 = _triplet_incidence(cp_faces, K)
+    mt = vert_tri1.shape[1]
     offs = (np.arange(S, dtype=np.int32) * T)[:, None, None]
     vert_tri = np.where(vert_tri1[None] >= 0, vert_tri1[None] + offs,
                         -1).reshape(N, mt)
@@ -176,18 +226,7 @@ def build_iteration_tables(partner: np.ndarray, cp_faces: np.ndarray,
                           ta.ravel(), tb.ravel(), e1, e0])
     order = np.argsort(src, kind="stable")
     src_s, dst_s = src[order], dst[order]
-    deg = np.bincount(src_s, minlength=N)
-    row = np.concatenate([[0], np.cumsum(deg)])
-    colors = np.full(N, -1, np.int32)
-    stamp = np.full(256, -1, np.int64)          # color -> last node that used it
-    for n in range(N):
-        nb = dst_s[row[n]:row[n + 1]]
-        cs = colors[nb]
-        stamp[cs[cs >= 0]] = n
-        c = 0
-        while stamp[c] == n:
-            c += 1
-        colors[n] = c
+    colors = _greedy_color(src_s, dst_s, N)
 
     ncol = int(colors.max()) + 1
     groups_l = [np.nonzero(colors == c)[0] for c in range(ncol)]
@@ -199,12 +238,16 @@ def build_iteration_tables(partner: np.ndarray, cp_faces: np.ndarray,
         vgroups[c, :len(g)] = g
         vmask[c, :len(g)] = True
 
-    return GroupIterTables(
+    out = GroupIterTables(
         vgroups=jnp.asarray(vgroups), vgroup_mask=jnp.asarray(vmask),
         vert_tri=jnp.asarray(vert_tri),
         vert_tri_corner=jnp.asarray(vert_tri_corner),
         vert_pair=jnp.asarray(vert_pair),
         vert_pair_end=jnp.asarray(vert_pair_end))
+    if len(_ITER_TABLE_CACHE) >= _ITER_TABLE_CACHE_MAX:
+        _ITER_TABLE_CACHE.pop(next(iter(_ITER_TABLE_CACHE)))
+    _ITER_TABLE_CACHE[key] = out
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -619,6 +662,95 @@ def make_fusion_fn(mesh: Mesh, st: GroupLevelStatics, S: int,
         out_specs=(P(), P(), P()),
         check_vma=False,
     ))
+
+
+def make_apply_fn(mesh: Mesh, st: GroupLevelStatics, S: int, cp_mesh,
+                  dg_mesh, sharded: bool = False):
+    """Batched apply-labeling stage (the group driver's per-subject
+    unfold + sphere_project_warp host loop, group_mesh_registration.cpp:
+    104-115, de-hosted: VERDICT round-2 item #6).
+
+    Call: (dg_coords (S,N,3), cp (S,K,3), labeling (S*K,) replicated)
+      -> (dg_coords', cp', spac' (S,K))
+
+    Per subject: CP_k <- R_k . label_{l_k} (applyLabeling), unfold the CP
+    grid, warp the data-grid sphere through (old CP -> new CP), unfold it,
+    and recompute the per-CP spacings (get_spacings).
+
+    sharded=False (default): ONE program batched over all S subjects on the
+    mesh's first device — the unfold while_loop body compiles differently
+    under single-device vs SPMD partitioning (fusion/FMA formation), so a
+    subject-sharded apply is only reproducible to ~1 ulp across device
+    counts; the fixed-layout default keeps the driver's device-count
+    bitwise-invariance guarantee. sharded=True distributes subjects over
+    the full mesh (use at scale where the ~1e-5 coordinate jitter between
+    device counts is acceptable).
+    """
+    from ..ops.resample import warp_coords
+    from ..ops.unfold import unfold_kernel
+    from ..reg.optimise.coloring import (color_groups,
+                                         vertex_coloring_from_faces)
+    from jax.sharding import Mesh as JMesh
+
+    if not sharded:
+        mesh = JMesh(np.asarray(mesh.devices.flat[:1]), ("subjects",))
+    n_dev = mesh.devices.size
+    K = st.orig_cp.shape[0]
+
+    def topo(m):
+        nbr_idx, _, tri_idx, _ = m.adjacency
+        colors = vertex_coloring_from_faces(m.faces, m.nvertices)
+        g, gm = color_groups(colors)
+        return (jnp.asarray(m.faces.astype(np.int32)), jnp.asarray(tri_idx),
+                jnp.asarray(g), jnp.asarray(gm), jnp.asarray(nbr_idx))
+
+    cp_topo = topo(cp_mesh)
+    dg_topo = topo(dg_mesh)
+
+    def run(dg_loc, cp_loc, labeling):
+        shard = jax.lax.axis_index("subjects")
+        nl = S // n_dev
+        lab_sk = labeling.reshape(S, K)
+
+        def one(args):
+            s_local, dg_c, cp_c = args
+            s = shard * nl + s_local
+            rots = sph.rodrigues(jnp.broadcast_to(st.centre, cp_c.shape),
+                                 cp_c)
+            rl = jnp.einsum("kij,lj->kli", rots, st.labels)   # (K,L,3)
+            new_cp = rl[jnp.arange(K), lab_sk[s]]             # (K,3)
+            new_cp, _, _ = unfold_kernel(new_cp, *cp_topo)
+
+            frm = st.cp_search._replace(coords=cp_c, pristine_res=-1,
+                                        descent=())
+            warped = warp_coords(dg_c, frm, new_cp)
+            warped, _, _ = unfold_kernel(warped, *dg_topo)
+
+            nb = new_cp[jnp.clip(cp_topo[4], 0, K - 1)]
+            chord = jnp.linalg.norm(nb - new_cp[:, None, :], axis=2)
+            d = 2 * RAD * jnp.arcsin(jnp.clip(chord / (2 * RAD), -1, 1))
+            spac = jnp.where(cp_topo[4] >= 0, d, 0.0).max(axis=1)
+            return warped, new_cp, spac
+
+        return jax.lax.map(one, (jnp.arange(nl), dg_loc, cp_loc))
+
+    from jax import shard_map
+    pspec = P("subjects")
+    inner = jax.jit(shard_map(run, mesh=mesh,
+                              in_specs=(pspec, pspec, P()),
+                              out_specs=(pspec, pspec, pspec),
+                              check_vma=False))
+    in_sh = NamedSharding(mesh, pspec)
+    rep_sh = NamedSharding(mesh, P())
+
+    def apply(dg_coords, cp, labeling):
+        # reshard onto the apply mesh (no-op when sharded=True); the caller
+        # re-puts outputs onto its own mesh
+        return inner(jax.device_put(dg_coords, in_sh),
+                     jax.device_put(cp, in_sh),
+                     jax.device_put(labeling, rep_sh))
+
+    return apply
 
 
 class _IcmTables:

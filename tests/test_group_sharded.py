@@ -244,6 +244,31 @@ class TestDriverShardInvariance:
             np.testing.assert_array_equal(g1.sph_reg[s].coords,
                                           g8.sph_reg[s].coords)
 
+    def test_sharded_apply_close_to_default(self):
+        """apply_sharded=True distributes the unfold+warp stage over the
+        mesh; results match the fixed-device default to float32 fusion
+        noise (see make_apply_fn docstring)."""
+        from test_group import make_group
+        meshes, datasets = make_group(8, res=2, degrees=6.0)
+        g_fix = self._run_driver(meshes, datasets, max_devices=8)
+        from newmsm_tpu.reg.group import GroupMeshRegistration
+        from test_group import group_config
+        import tempfile
+        g_sh = GroupMeshRegistration()
+        g_sh.max_devices = 8
+        g_sh.apply_sharded = True
+        g_sh.set_inputs([m.copy() for m in meshes])
+        g_sh.set_data_list([d.copy() for d in datasets])
+        g_sh.set_template(Mesh.from_icosphere(2))
+        g_sh.outdir = tempfile.mkdtemp() + "/"
+        cfg = group_config(iters=2)
+        cfg.datagrid = [2]
+        cfg.sampgrid = [2]
+        g_sh.run_multiresolutions(cfg)
+        for s in range(8):
+            np.testing.assert_allclose(g_fix.sph_reg[s].coords,
+                                       g_sh.sph_reg[s].coords, atol=1e-2)
+
     def test_registration_improves_coalignment_s8(self):
         from test_group import make_group, mean_pairwise_corr
         meshes, datasets = make_group(8, res=2, degrees=6.0)

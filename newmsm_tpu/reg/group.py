@@ -66,6 +66,8 @@ class GroupMeshRegistration:
         # (bitwise device-count invariance), True = subject-sharded (faster
         # at scale, ~1e-5 jitter between device counts; see make_apply_fn)
         self.apply_sharded = False
+        self.multiprocess = False          # set by _materialise_inputs
+        self.owned = slice(None)
 
     def _log_metrics(self, **kw):
         """Structured observability (SURVEY §5), same JSONL contract as the
@@ -76,21 +78,53 @@ class GroupMeshRegistration:
                 f.write(json.dumps(kw) + "\n")
 
     # ---- inputs ----------------------------------------------------------
+    # Loading is deferred to run time: under jax.process_count() > 1 each
+    # process materialises ONLY its owned subject slice (+ subject 0 when
+    # intensity normalisation references it), the multi-process equivalent
+    # of the reference's per-host SLURM file lists (run_gMSM.sh:31-38).
     def set_inputs(self, meshes: List[Mesh] | List[str]):
+        self._raw_meshes = list(meshes)
         self.meshes = []
-        for m in meshes:
-            mesh = Mesh.load(m) if isinstance(m, str) else m.copy()
-            mesh.recentre()
-            mesh.true_rescale(RAD)
-            self.meshes.append(mesh)
 
     def set_data_list(self, data: List[np.ndarray] | List[str]):
+        self._raw_data = list(data)
         self.datasets = []
-        for i, d in enumerate(data):
-            if isinstance(d, str):
-                self.datasets.append(mio.load_data(d, self.meshes[i]))
-            else:
-                self.datasets.append(np.atleast_2d(d))
+
+    def _load_subject(self, s: int):
+        m = self._raw_meshes[s]
+        mesh = Mesh.load(m) if isinstance(m, str) else m.copy()
+        mesh.recentre()
+        mesh.true_rescale(RAD)
+        d = self._raw_data[s]
+        data = (mio.load_data(d, mesh) if isinstance(d, str)
+                else np.atleast_2d(d))
+        return mesh, data
+
+    def _materialise_inputs(self, cfg):
+        """Fill self.meshes/self.datasets (None for subjects this process
+        does not own) and set the ownership slice."""
+        import jax as _jax
+        S = len(self._raw_meshes)
+        if len(self._raw_data) != S:
+            raise ValueError("meshes/data list length mismatch")
+        self.multiprocess = _jax.process_count() > 1
+        if self.multiprocess:
+            from ..parallel import multihost as mh
+            self._mp_mesh = mh.subjects_device_mesh()
+            self.owned = mh.process_subject_slice(S, mesh=self._mp_mesh)
+        else:
+            self._mp_mesh = None
+            self.owned = slice(0, S)
+        need = set(range(S)[self.owned])
+        if cfg.intensity_norm:
+            need.add(0)            # histogram-matching reference subject
+        self.meshes = [None] * S
+        self.datasets = [None] * S
+        for s in sorted(need):
+            self.meshes[s], self.datasets[s] = self._load_subject(s)
+
+    def _owned_ids(self) -> List[int]:
+        return list(range(len(self.meshes))[self.owned])
 
     def set_template(self, mesh: Mesh | str):
         m = Mesh.load(mesh) if isinstance(mesh, str) else mesh.copy()
@@ -106,6 +140,7 @@ class GroupMeshRegistration:
     def run_multiresolutions(self, config: RegConfig | str | None = None):
         cfg = config if isinstance(config, RegConfig) else parse_config(config)
         self.cfg = cfg
+        self._materialise_inputs(cfg)
         S = len(self.meshes)
         if S < 2:
             raise ValueError("groupwise mode needs at least 2 subjects")
@@ -130,11 +165,18 @@ class GroupMeshRegistration:
     def _initialize_level(self, level: int):
         cfg = self.cfg
         S = len(self.meshes)
+        # featurespace over the subjects this process owns (+ subject 0
+        # first when intensity_norm needs its histogram reference)
+        ids = self._owned_ids()
+        prep = ids if (not cfg.intensity_norm or ids[:1] == [0]) \
+            else [0] + [s for s in ids if s != 0]
         self.feat = fsp.initialise(
-            self.meshes, self.datasets, cfg.datagrid[level],
-            [cfg.sigma_in[level]] * S, exclude=cfg.exclude, cut=cfg.cut,
-            thresholds=tuple(cfg.cutthreshold),
+            [self.meshes[s] for s in prep], [self.datasets[s] for s in prep],
+            cfg.datagrid[level],
+            [cfg.sigma_in[level]] * len(prep), exclude=cfg.exclude,
+            cut=cfg.cut, thresholds=tuple(cfg.cutthreshold),
             intensity_norm=cfg.intensity_norm, variance_norm=cfg.variance_norm)
+        self._feat_map = {s: i for i, s in enumerate(prep)}
         self.sph_orig = Mesh(coords=self.feat.grid.coords.copy(),
                              faces=self.feat.grid.faces)
 
@@ -153,19 +195,25 @@ class GroupMeshRegistration:
         self.cp_triplets = trip
         self.T_cp = trip.shape[0]
 
-        # per-subject state
-        if self.sph_reg is None or self.sph_reg[0].nvertices != self.sph_orig.nvertices:
+        # per-subject state (owned subjects only; None elsewhere)
+        ids = self._owned_ids()
+        if self.sph_reg is None or \
+                self.sph_reg[ids[0]].nvertices != self.sph_orig.nvertices:
             prev = self.sph_reg
-            self.sph_reg = [Mesh(coords=self.sph_orig.coords.copy(),
-                                 faces=self.sph_orig.faces) for _ in range(S)]
+            self.sph_reg = [None] * S
+            for s in ids:
+                self.sph_reg[s] = Mesh(coords=self.sph_orig.coords.copy(),
+                                       faces=self.sph_orig.faces)
             if prev is not None:
                 # project previous level's warps onto the new data grid
-                icotmp = Mesh.from_icosphere(prev[0].get_resolution())
+                icotmp = Mesh.from_icosphere(prev[ids[0]].get_resolution())
                 icotmp.true_rescale(RAD)
-                for s in range(S):
-                    warped = rsp.sphere_project_warp(self.sph_orig, icotmp, prev[s])
+                for s in ids:
+                    warped = rsp.sphere_project_warp(self.sph_orig, icotmp,
+                                                     prev[s])
                     self.sph_reg[s] = unfold(warped, self.verbose)
-        self.cp_grids = [control.copy() for _ in range(S)]
+        self.cp_grids = [control.copy() if s in set(ids) else None
+                         for s in range(S)]
 
         # global node numbering: subject * K + vertex
         full_trip = np.concatenate([trip + s * K for s in range(S)], axis=0)
@@ -213,14 +261,16 @@ class GroupMeshRegistration:
         self._maps_fn = make_maps_fn(self.device_mesh, self.level_statics,
                                      dg_topology, cap)
         from ..parallel.group_fusion import make_apply_fn
-        self._apply_fn = make_apply_fn(self.device_mesh, self.level_statics,
-                                       S, control, dg0,
-                                       sharded=self.apply_sharded)
+        # multi-process runs MUST shard the apply stage (a 1-device layout
+        # is not addressable across processes)
+        self._apply_fn = make_apply_fn(
+            self.device_mesh, self.level_statics, S, control, dg0,
+            sharded=self.apply_sharded or self.multiprocess)
         self._partner_fn = make_partner_fn(self.device_mesh,
                                            self.level_statics, S)
         exchange = self.maps_exchange
         if exchange == "auto":
-            D = max(d.shape[0] for d in self.datasets)
+            D = max(d.shape[0] for d in self.datasets if d is not None)
             maps_bytes = S * len(labels) * D * nt * 4
             exchange = ("ring" if maps_bytes > self.maps_memory_budget
                         else "gather")
@@ -234,10 +284,19 @@ class GroupMeshRegistration:
                   f"maps_exchange={exchange}")
 
     def _select_mesh(self, S: int):
-        """1-D 'subjects' device mesh: the largest device count that divides
-        S (subject sharding needs equal shards), honouring `max_devices`."""
+        """1-D 'subjects' device mesh. Multi-process: the hosts-outer global
+        mesh from multihost.subjects_device_mesh (consecutive subjects on
+        one host, DCN only at host boundaries). Single-process: the largest
+        device count that divides S (subject sharding needs equal shards),
+        honouring `max_devices`."""
         import jax as _jax
         from jax.sharding import Mesh as JMesh
+        if self.multiprocess:
+            if S % self._mp_mesh.devices.size:
+                raise ValueError(
+                    f"multi-process groupwise needs S={S} divisible by the "
+                    f"global device count {self._mp_mesh.devices.size}")
+            return self._mp_mesh
         devs = _jax.devices()
         limit = getattr(self, "max_devices", None) or len(devs)
         n = min(len(devs), limit, S)
@@ -267,23 +326,35 @@ class GroupMeshRegistration:
         import time as _time
 
         # subject-sharded device state, resident across iterations (the
-        # apply stage runs on device too — VERDICT round-2 item #6)
-        dg_coords = _jax.device_put(jnp.asarray(np.stack(
-            [m.coords for m in self.sph_reg]), jnp.float32), shard)
-        dg_data = _jax.device_put(jnp.asarray(np.stack(
-            [self.feat.data[s] for s in range(S)]), jnp.float32), shard)
-        cp = _jax.device_put(jnp.asarray(np.stack(
-            [g.coords for g in self.cp_grids]), jnp.float32), shard)
-        spac = _jax.device_put(jnp.asarray(np.stack(
-            [g.max_vertex_distances() for g in self.cp_grids]),
-            jnp.float32), shard)
+        # apply stage runs on device too — VERDICT round-2 item #6). Each
+        # process contributes only its owned subject slice; jax assembles
+        # the global arrays (no host ever holds the whole cohort).
+        ids = self._owned_ids()
+
+        def put(local):
+            local = jnp.asarray(local, jnp.float32)
+            if self.multiprocess:
+                from ..parallel import multihost as mh
+                return mh.global_shard_subjects(local, self.device_mesh)
+            return _jax.device_put(local, shard)
+
+        dg_coords = put(np.stack([self.sph_reg[s].coords for s in ids]))
+        dg_data = put(np.stack(
+            [self.feat.data[self._feat_map[s]] for s in ids]))
+        cp = put(np.stack([self.cp_grids[s].coords for s in ids]))
+        spac = put(np.stack(
+            [self.cp_grids[s].max_vertex_distances() for s in ids]))
 
         def sync_host_meshes():
-            dg_np = np.asarray(dg_coords, np.float64)
-            cp_np = np.asarray(cp, np.float64)
-            for s in range(S):
-                self.sph_reg[s].coords = dg_np[s]
-                self.cp_grids[s].coords = cp_np[s]
+            # pull back only the locally-addressable subject shards
+            for arr, grids in ((dg_coords, self.sph_reg),
+                               (cp, self.cp_grids)):
+                for shd in arr.addressable_shards:
+                    rows = shd.index[0]
+                    data = np.asarray(shd.data, np.float64)
+                    for off, s in enumerate(range(rows.start or 0,
+                                                  rows.stop or S)):
+                        grids[s].coords = data[off]
 
         for it in range(cfg.iters[level]):
             t0 = _time.perf_counter()
@@ -291,7 +362,7 @@ class GroupMeshRegistration:
             if self.debug:
                 # per-iteration mesh dumps (DiscreteModel.cpp:234-240 analog)
                 sync_host_meshes()
-                for s in range(S):
+                for s in ids:
                     self.sph_reg[s].save(
                         self._out(f"SOURCE-{s}-{self.level}-{it}.surf.gii"))
                     self.cp_grids[s].save(
@@ -356,13 +427,18 @@ class GroupMeshRegistration:
         return self.outdir + name
 
     def _write_outputs(self):
-        self.transformed_data = []
-        for s, mesh in enumerate(self.meshes):
-            warped = rsp.sphere_project_warp(mesh, self.sph_orig, self.sph_reg[s])
+        # each process writes only the subjects it owns (the reference's
+        # per-host SLURM task split, group_mesh_registration.cpp:120-133)
+        S = len(self.meshes)
+        self.transformed_data = [None] * S
+        for s in self._owned_ids():
+            mesh = self.meshes[s]
+            warped = rsp.sphere_project_warp(mesh, self.sph_orig,
+                                             self.sph_reg[s])
             warped.save(self._out(f"sphere-{s}.reg" + self.surf_format))
             carrier = Mesh(coords=warped.coords, faces=warped.faces,
                            data=self.datasets[s])
             res, _ = rsp.metric_resample(carrier, self.template)
             res.save(self._out(f"transformed_and_reprojected-{s}"
                                + self.data_format))
-            self.transformed_data.append(res.data)
+            self.transformed_data[s] = res.data

@@ -80,3 +80,60 @@ class TestTwoProcessBringup:
         ref = (round(float(energy), 6), int(lab.sum()),
                int((lab != 0).sum()))
         assert res[0] == pytest.approx(ref), (res[0], ref)
+
+    def test_full_driver_two_processes_matches_single(self, tmp_path):
+        """The FULL GroupMeshRegistration (featurespace -> iterations ->
+        outputs) across 2 processes: per-host subject loading, global
+        sharded arrays, owned-only outputs — energies and registered
+        spheres match the single-process run (VERDICT round-2 item #4)."""
+        port = _free_port()
+        worker = os.path.join(os.path.dirname(__file__),
+                              "multihost_worker.py")
+        outdir = str(tmp_path) + "/mp."
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+        procs = [subprocess.Popen(
+            [sys.executable, worker, str(port), str(pid), "2", "driver",
+             outdir],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env) for pid in (0, 1)]
+        outs = []
+        for p in procs:
+            try:
+                out, err = p.communicate(timeout=900)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out, err = p.communicate()
+                pytest.fail(f"worker timed out; out={out[-2000:]} "
+                            f"err={err[-2000:]}")
+            assert p.returncode == 0, (out[-2000:], err[-3000:])
+            outs.append(next(l for l in out.splitlines() if "DRIVER" in l))
+
+        e = [re.search(r"energies=\[([^\]]*)\]", o).group(1) for o in outs]
+        assert e[0] == e[1], outs          # replicated energies agree
+
+        # single-process reference on the identical problem (sharded apply
+        # to match the multi-process layout)
+        from newmsm_tpu.core.mesh import Mesh
+        from newmsm_tpu.reg.group import GroupMeshRegistration
+        from test_group import group_config, make_group
+        meshes, datasets = make_group(8, res=2, degrees=6.0)
+        g = GroupMeshRegistration()
+        g.apply_sharded = True
+        g.set_inputs(meshes)
+        g.set_data_list(datasets)
+        g.set_template(Mesh.from_icosphere(2))
+        g.outdir = str(tmp_path) + "/sp."
+        cfg = group_config(iters=2)
+        cfg.datagrid = [2]
+        cfg.sampgrid = [2]
+        g.run_multiresolutions(cfg)
+        ref_e = ",".join(f"{en:.6f}" for (_, _, en) in g.energy_log)
+        assert e[0] == ref_e, (e[0], ref_e)
+
+        # every subject's registered sphere written exactly once across the
+        # two processes, matching the single-process result
+        for s in range(8):
+            mp_mesh = Mesh.load(outdir + f"sphere-{s}.reg.surf.gii")
+            np.testing.assert_allclose(mp_mesh.coords, g.sph_reg[s].coords,
+                                       atol=1e-4)

@@ -165,7 +165,8 @@ class MeshRegistration:
             percentile=cfg.percentile, triclique=cfg.triclique,
             patchwise=cfg.patchwise, rescale_labels=cfg.rescaleL,
             multivariate=self.feat.dim > 1, mcparam=cfg.mcparam,
-            fixnan=cfg.fixnan)
+            fixnan=cfg.fixnan,
+            bucket_labels=cfg.dopt != "MCMC")
         control = Mesh.from_icosphere(cfg.cpgrid[level])
         control.recentre()
         control.true_rescale(RAD)
@@ -340,11 +341,14 @@ class MeshRegistration:
                 tfn = model.triplet_combo_fn(s)
                 if model.pairwise_mode:
                     pfn = model.pair_combo_fn(s)
+                    # num_labels is passed TRACED: the padded label shape is
+                    # one bucket per level, the alpha loop's trip count the
+                    # real label count — one compiled program per level
                     labeling = FU.fusion_optimize(
                         labeling, unary,
                         jnp.zeros((0, 3), jnp.int32), model.fusion_tables,
                         lambda la, lb, lc: jnp.zeros(la.shape, jnp.float32),
-                        int(s["labels"].shape[0]),
+                        jnp.int32(model.num_labels),
                         pairs=model.tables.pairs, pair_combo_fn=pfn)
                     newenergy = float(FU.fusion_energy(
                         labeling, unary, jnp.zeros((0, 3), jnp.int32),
@@ -353,7 +357,8 @@ class MeshRegistration:
                 else:
                     labeling = FU.fusion_optimize(
                         labeling, unary, model.tables.triplets,
-                        model.fusion_tables, tfn, int(s["labels"].shape[0]))
+                        model.fusion_tables, tfn,
+                        jnp.int32(model.num_labels))
                     newenergy = float(FU.fusion_energy(
                         labeling, unary, model.tables.triplets, tfn))
             else:

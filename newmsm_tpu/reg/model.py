@@ -46,6 +46,10 @@ class ModelConfig:
     fixnan: bool = False
     pmax: int = 0            # 0 -> auto from grid ratio
     labeldist: float = 0.5   # _labeldist (DiscreteModel.h:167)
+    bucket_labels: bool = True   # pad label sets to one per-level shape so
+    #                              the even/odd label alternation reuses ONE
+    #                              compiled program (fusion path only; the
+    #                              MCMC volume is cubic in L, never padded)
 
 
 class PairwiseModel:
@@ -141,6 +145,20 @@ class PairwiseModel:
         (setupCostFunction, DiscreteModel.cpp:216-262)."""
         cfg = self.cfg
         labels = self.current_labels()
+        self.num_labels = len(labels)      # REAL label count (alpha range)
+        if cfg.bucket_labels:
+            # shape bucketing: pad to the max over this level's label sets
+            # (samples/barycentres alternate per iteration,
+            # DiscreteModel.cpp:242-248) with copies of label 0 so all
+            # per-iteration programs share ONE compiled shape; the alpha
+            # loop only visits the real prefix (traced trip count)
+            bucket = (len(self.sampling.samples) if cfg.rescale_labels else
+                      max(len(self.sampling.samples),
+                          len(self.sampling.barycentres)))
+            if len(labels) < bucket:
+                pad = np.broadcast_to(labels[0:1],
+                                      (bucket - len(labels), 3))
+                labels = np.concatenate([labels, pad], axis=0)
         self.labels_np = labels
         K = self.cp_grid.nvertices
         self.labeling = np.zeros(K, np.int32)

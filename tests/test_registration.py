@@ -116,6 +116,83 @@ class TestPairwiseMCMC:
         after = alignment_correlation(mr.transformed_data, refd)
         assert after > before, (before, after)
 
+    def test_label_bucketing_identical_results_one_shape(self, monkeypatch):
+        """Shape bucketing (pad label sets to one per-level shape, traced
+        alpha count) must not change results — the padded labels are never
+        visited — while making every iteration's device inputs one shape."""
+        import newmsm_tpu.reg.driver as drv
+        from newmsm_tpu.reg.model import ModelConfig
+
+        inp, ind, ref, refd = make_pair(res=3, rot_degrees=8.0, seed=5)
+        shapes: list = []
+        orig_setup = drv.PairwiseModel.setup_iteration
+
+        def spy_setup(self, cfw):
+            s = orig_setup(self, cfw)
+            shapes.append(tuple(s["labels"].shape))
+            return s
+
+        monkeypatch.setattr(drv.PairwiseModel, "setup_iteration", spy_setup)
+
+        def run():
+            mr = MeshRegistration()
+            mr.set_input(inp.copy())
+            mr.set_input_data(ind)
+            mr.set_reference(ref.copy())
+            mr.set_reference_data(refd)
+            import tempfile
+            mr.outdir = tempfile.mkdtemp() + "/"
+            mr.run_multiresolutions(small_config("HOCR", iters=3))
+            return mr
+
+        mr_b = run()
+        assert len(set(shapes)) == 1, shapes    # ONE label shape per level
+
+        class NoBucket(ModelConfig):
+            def __init__(self, *a, **kw):
+                kw["bucket_labels"] = False
+                super().__init__(*a, **kw)
+
+        monkeypatch.setattr(drv, "ModelConfig", NoBucket)
+        shapes.clear()
+        mr_u = run()
+
+        assert [e for (_, _, e) in mr_b.energy_log] == \
+               [e for (_, _, e) in mr_u.energy_log]
+        np.testing.assert_array_equal(mr_b.sph_reg.coords,
+                                      mr_u.sph_reg.coords)
+
+    def test_label_bucketing_unifies_cp4_sg6_shapes(self):
+        """At the standard config's finest level (CP-4/SG-6) the alternating
+        label sets genuinely differ (18 vertices vs 19 barycentres);
+        bucketing pads both to one shape while num_labels keeps the real
+        alpha range."""
+        from newmsm_tpu.core.mesh import Mesh
+        from newmsm_tpu.reg.model import ModelConfig, PairwiseModel
+
+        cp = Mesh.from_icosphere(4)
+        cp.recentre()
+        cp.true_rescale(100.0)
+        dg = Mesh.from_icosphere(4)
+        dg.recentre()
+        dg.true_rescale(100.0)
+        data = smooth_pattern(dg.coords)[None, :]
+
+        def shapes_for(bucket):
+            mc = ModelConfig(sg_res=6, bucket_labels=bucket)
+            m = PairwiseModel(mc, cp, dg, dg, data, data)
+            out = []
+            for _ in range(2):          # even + odd iteration
+                s = m.setup_iteration(np.ones_like(data))
+                out.append((s["labels"].shape[0], m.num_labels))
+            return out
+
+        unb = shapes_for(False)
+        assert unb[0][0] != unb[1][0], unb      # real alternation differs
+        b = shapes_for(True)
+        assert b[0][0] == b[1][0] == max(u[0] for u in unb), b
+        assert [x[1] for x in b] == [x[1] for x in unb]   # alpha ranges real
+
     def test_mcmc_deep_sweeps(self):
         """Run the optimiser at realistic sweep depth (>=5k of the reference
         default 100k, mesh_registration.cpp:712-713) in one device program:

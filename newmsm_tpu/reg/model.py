@@ -170,9 +170,18 @@ class PairwiseModel:
         rots, rl = C.rotated_label_positions(cp, lbl, self.centre)
         patch_idx, patch_mask, overflow = C.build_patches(
             cp, src, self.tables.maxsep, cfg.cprange, self.pmax)
-        if not self._warned_overflow and bool(overflow.any()):
-            print("warning: patch capacity overflow; increase pmax")
-            self._warned_overflow = True
+        # the reference's patches are uncapped vectors
+        # (DiscreteCostFunction.cpp:334-351): on overflow, grow pmax and
+        # rebuild rather than silently dropping in-range vertices
+        for _ in range(4):
+            if not bool(overflow.any()):
+                break
+            self.pmax = min(src.shape[0], self.pmax * 2)
+            if not self._warned_overflow:
+                print(f"patch capacity overflow: growing pmax to {self.pmax}")
+                self._warned_overflow = True
+            patch_idx, patch_mask, overflow = C.build_patches(
+                cp, src, self.tables.maxsep, cfg.cprange, self.pmax)
 
         # AbsoluteWeights: max-over-dims of cfweights resampled to CP grid
         # (resample_weights, DiscreteCostFunction.cpp:303-323)

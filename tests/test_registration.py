@@ -162,6 +162,30 @@ class TestPairwiseMCMC:
         np.testing.assert_array_equal(mr_b.sph_reg.coords,
                                       mr_u.sph_reg.coords)
 
+    def test_pmax_grows_on_overflow(self):
+        """A too-tight patch capacity must grow until every in-range source
+        vertex fits (the reference's patches are uncapped,
+        DiscreteCostFunction.cpp:334-351) — no silent truncation."""
+        from newmsm_tpu.core.mesh import Mesh
+        from newmsm_tpu.reg import costs as C
+        from newmsm_tpu.reg.model import ModelConfig, PairwiseModel
+        import jax.numpy as jnp
+
+        cp = Mesh.from_icosphere(1)
+        cp.recentre()
+        cp.true_rescale(100.0)
+        dg = Mesh.from_icosphere(3)
+        dg.recentre()
+        dg.true_rescale(100.0)
+        data = smooth_pattern(dg.coords)[None, :]
+        m = PairwiseModel(ModelConfig(pmax=4), cp, dg, dg, data, data)
+        assert m.pmax == 4
+        s = m.setup_iteration(np.ones_like(data))
+        assert m.pmax > 4
+        _, _, overflow = C.build_patches(
+            s["cp"], s["src"], m.tables.maxsep, m.cfg.cprange, m.pmax)
+        assert not bool(overflow.any())
+
     def test_label_bucketing_unifies_cp4_sg6_shapes(self):
         """At the standard config's finest level (CP-4/SG-6) the alternating
         label sets genuinely differ (18 vertices vs 19 barycentres);

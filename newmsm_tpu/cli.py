@@ -46,6 +46,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-c", "--conf", default="", help="configuration file")
     p.add_argument("--metrics", default="",
                    help="write per-iteration JSONL metrics to this file")
+    p.add_argument("--profile", default="",
+                   help="write a jax.profiler device trace to this directory")
     return p
 
 
@@ -81,6 +83,7 @@ def main(argv=None) -> int:
         gmr.verbose = args.verbose
         gmr.debug = args.debug
         gmr.metrics_path = args.metrics or None
+        gmr.profile_dir = args.profile or None
         gmr.outdir = args.out
         gmr.set_inputs(read_list_file(args.meshes))
         gmr.set_data_list(read_list_file(args.data))
@@ -94,6 +97,7 @@ def main(argv=None) -> int:
     mr = MeshRegistration()
     mr.verbose = args.verbose
     mr.metrics_path = args.metrics or None
+    mr.profile_dir = args.profile or None
     mr.debug = args.debug
     mr.outdir = args.out
     if not args.inmesh:

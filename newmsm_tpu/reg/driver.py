@@ -113,6 +113,15 @@ class MeshRegistration:
 
     # ---- main entry ------------------------------------------------------
     def run_multiresolutions(self, config: RegConfig | str | None = None):
+        if getattr(self, "profile_dir", None):
+            # device-level tracing (SURVEY §5): one perfetto/xplane trace of
+            # the whole run, viewable in TensorBoard / xprof
+            import jax
+            with jax.profiler.trace(self.profile_dir):
+                return self._run_multiresolutions(config)
+        return self._run_multiresolutions(config)
+
+    def _run_multiresolutions(self, config: RegConfig | str | None = None):
         cfg = config if isinstance(config, RegConfig) else parse_config(config)
         self.cfg = cfg
         self.verbose = self.verbose or cfg.verbose

@@ -138,6 +138,13 @@ class GroupMeshRegistration:
 
     # ---- main ------------------------------------------------------------
     def run_multiresolutions(self, config: RegConfig | str | None = None):
+        if getattr(self, "profile_dir", None):
+            import jax as _jax
+            with _jax.profiler.trace(self.profile_dir):
+                return self._run_multiresolutions(config)
+        return self._run_multiresolutions(config)
+
+    def _run_multiresolutions(self, config: RegConfig | str | None = None):
         cfg = config if isinstance(config, RegConfig) else parse_config(config)
         self.cfg = cfg
         self._materialise_inputs(cfg)

@@ -387,19 +387,30 @@ class GroupMeshRegistration:
             labeling0 = jnp.zeros((S * K,), jnp.int32)
             labeling, energy_dev, overflow_dev = self._fusion_fn(
                 maps, cp, spac, labeling0, jnp.asarray(partner), tables)
-            newenergy = float(energy_dev)
             patch_overflow = int(overflow_dev)
+            # the reference's patches are uncapped (DiscreteGroupModel.cpp:
+            # 88-121): on truncation, grow pmax, rebuild the fusion program
+            # and redo this iteration rather than dropping in-range vertices
+            nt = self.template.nvertices
+            while patch_overflow and self.pmax < nt:
+                self.pmax = int(min(nt, self.pmax * 2))
+                print(f"groupwise level {self.level} iter {it}: "
+                      f"{patch_overflow} (CP,label) patches exceeded "
+                      f"capacity — growing pmax to {self.pmax}")
+                from ..parallel.group_fusion import make_fusion_fn
+                self.level_statics = self.level_statics._replace(
+                    pmax=self.pmax)
+                self._fusion_fn = make_fusion_fn(
+                    self.device_mesh, self.level_statics, S,
+                    maps_exchange=self._maps_exchange_used)
+                labeling, energy_dev, overflow_dev = self._fusion_fn(
+                    maps, cp, spac, labeling0, jnp.asarray(partner), tables)
+                patch_overflow = int(overflow_dev)
+            newenergy = float(energy_dev)
             labeling = np.asarray(labeling)
             t2 = _time.perf_counter()
             self.energy_log.append((self.level, it, newenergy))
             changed = float((labeling != 0).mean())
-            if patch_overflow:
-                # pmax truncated at least one in-range template patch —
-                # pair costs silently dropped vertices the reference would
-                # include (group_fusion.patch_of); raise pmax next level
-                print(f"WARNING groupwise level {self.level} iter {it}: "
-                      f"{patch_overflow} (CP,label) patches exceeded "
-                      f"pmax={self.pmax} and were truncated")
             if self.verbose:
                 print(f"  iter {it}: energy {newenergy:.4f} "
                       f"({changed:.0%} nodes moved)  "

@@ -276,3 +276,37 @@ class TestDriverShardInvariance:
         before = mean_pairwise_corr(datasets)
         after = mean_pairwise_corr(g8.transformed_data)
         assert after > before, (before, after)
+
+    def test_s16_ico4_groupwise_scale(self):
+        """Beyond-toy scale in CI (VERDICT round-2 item #6): S=16 subjects,
+        ico-4 data grids, 8 devices, through the full driver — improves
+        co-alignment with fold-free warps and no patch overflow."""
+        import json
+        import tempfile
+        from newmsm_tpu.ops.unfold import count_folds
+        from newmsm_tpu.reg.group import GroupMeshRegistration
+        from test_group import group_config, make_group, mean_pairwise_corr
+
+        meshes, datasets = make_group(16, res=4, degrees=6.0)
+        g = GroupMeshRegistration()
+        g.max_devices = 8
+        g.set_inputs(meshes)
+        g.set_data_list(datasets)
+        g.set_template(Mesh.from_icosphere(4))
+        out = tempfile.mkdtemp()
+        g.outdir = out + "/"
+        g.metrics_path = out + "/metrics.jsonl"
+        cfg = group_config(iters=2)
+        cfg.datagrid = [4]
+        cfg.sampgrid = [4]
+        cfg.cpgrid = [2]
+        g.run_multiresolutions(cfg)
+
+        before = mean_pairwise_corr(datasets)
+        after = mean_pairwise_corr(g.transformed_data)
+        assert after > before + 0.05, (before, after)
+        for s in range(16):
+            assert count_folds(g.sph_reg[s]) == 0
+        rows = [json.loads(l) for l in open(g.metrics_path)]
+        assert all(r["patch_overflow"] == 0 for r in rows
+                   if r["event"] == "iter"), rows

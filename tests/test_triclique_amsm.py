@@ -50,7 +50,10 @@ class TestAnatomical:
         mr.run_multiresolutions(cfg)
         before = alignment_correlation(ind, refd)
         after = alignment_correlation(mr.transformed_data, refd)
-        assert after > before - 0.02
+        # hard gate (measured 0.820 -> 0.987 at calibration, 2026-08-19):
+        # anatomical regularisation must still permit strong alignment
+        assert after > before + 0.10, (before, after)
+        assert after >= 0.95, after
         # aMSM extras written (mesh_registration.cpp:397-407)
         assert os.path.exists(mr.outdir + "anat.reg.surf.gii")
         assert os.path.exists(mr.outdir + "STRAINS.func.gii")

@@ -341,7 +341,8 @@ def _block_id(a, b, S: int):
 
 
 def make_fusion_fn(mesh: Mesh, st: GroupLevelStatics, S: int,
-                   maps_exchange: str = "gather"):
+                   maps_exchange: str = "gather",
+                   alpha_loop: str = "auto"):
     """Build the jitted subject-sharded fusion sweep.
 
     Call: (maps (S,L,D,Nt) sharded, cp (S,K,3) sharded, spac (S,K) sharded,
@@ -368,9 +369,24 @@ def make_fusion_fn(mesh: Mesh, st: GroupLevelStatics, S: int,
         the same disjoint-slot psum, so labelings/energies match 'gather'
         bitwise for any device count — at sweeps*L times the all_gather's
         communication volume. Use when the gathered tensor would not fit.
+
+    alpha_loop — where the sweeps*L alpha iteration lives:
+      'device': the whole fusion sweep is ONE dispatch (lax.fori_loop) —
+        lowest overhead, but at cgMSM scale a single program can run for
+        hundreds of seconds, which remote-TPU runtimes kill ("TPU worker
+        crashed", reproduced at S=6/K=642/template ico-6).
+      'host': one jitted alpha-step program dispatched sweeps*L times with
+        the labeling fed back through device memory (dispatches pipeline
+        asynchronously; only the final result syncs). Identical math and
+        results; per-step dispatch overhead ~ms.
+      'auto': 'host' when the estimated per-call work
+        sweeps*L*B*K*Nt exceeds ~1e10 (between the known-good and
+        known-killed scales), else 'device'.
     """
     if maps_exchange not in ("gather", "ring"):
         raise ValueError(f"unknown maps_exchange {maps_exchange!r}")
+    if alpha_loop not in ("device", "host", "auto"):
+        raise ValueError(f"unknown alpha_loop {alpha_loop!r}")
     n_dev = mesh.devices.size
     if S % n_dev:
         raise ValueError(f"S={S} not divisible by {n_dev} devices")
@@ -415,7 +431,9 @@ def make_fusion_fn(mesh: Mesh, st: GroupLevelStatics, S: int,
             cost = jnp.where(jnp.isnan(cost), FIX_NAN, cost)
         return jnp.where(folded, FOLDING, cost)
 
-    def run(maps_loc, cp_loc, spac_loc, labeling, partner, tables):
+    def _make_run(mode):
+      def run(maps_loc, cp_loc, spac_loc, labeling, partner, tables,
+              *alpha_arg):
         shard = jax.lax.axis_index("subjects")
         cp_all = jax.lax.all_gather(cp_loc, "subjects", tiled=True)
         spac_all = jax.lax.all_gather(spac_loc, "subjects", tiled=True)
@@ -639,6 +657,17 @@ def make_fusion_fn(mesh: Mesh, st: GroupLevelStatics, S: int,
             x = xs[jnp.argmin(es)]
             return jnp.where(x == 1, alpha, labeling), ovf
 
+        if mode == "step":
+            # one alpha step (host-driven loop); alpha is a traced scalar so
+            # every step reuses ONE compiled program
+            return alpha_step(labeling, alpha_arg[0])
+
+        if mode == "energy":
+            # final energy at the labeling: combo-0 ("keep all") sums of a
+            # fresh table build (alpha value irrelevant for combo 0)
+            t8f, p4f, ovf_f = build_tables_for(0, labeling.reshape(S, K))
+            return jnp.sum(t8f[:, 0]) + jnp.sum(p4f[:, 0]), ovf_f
+
         def body(i, carry):
             labeling, ovf_acc = carry
             labeling, ovf = alpha_step(labeling, i % L)
@@ -647,21 +676,44 @@ def make_fusion_fn(mesh: Mesh, st: GroupLevelStatics, S: int,
         labeling, overflow = jax.lax.fori_loop(
             0, st.sweeps * L, body, (labeling, jnp.zeros((), jnp.int32)))
 
-        # final energy at the new labeling: combo-0 ("keep all") sums of a
-        # fresh table build (alpha value irrelevant for combo 0)
         t8f, p4f, ovf_f = build_tables_for(0, labeling.reshape(S, K))
         energy = jnp.sum(t8f[:, 0]) + jnp.sum(p4f[:, 0])
         return labeling, energy, overflow + ovf_f
 
+      return run
+
     from jax import shard_map
     pspec = P("subjects")
-    return jax.jit(shard_map(
-        run, mesh=mesh,
-        in_specs=(pspec, pspec, pspec, P(), P(),
-                  GroupIterTables(*([P()] * 6))),
-        out_specs=(P(), P(), P()),
-        check_vma=False,
-    ))
+    base_specs = (pspec, pspec, pspec, P(), P(), GroupIterTables(*([P()] * 6)))
+
+    if alpha_loop == "auto":
+        Nt = st.tmpl_coords.shape[0]
+        work = st.sweeps * L * B * K * Nt
+        alpha_loop = "host" if work > 1e10 else "device"
+
+    if alpha_loop == "device":
+        return jax.jit(shard_map(
+            _make_run("full"), mesh=mesh, in_specs=base_specs,
+            out_specs=(P(), P(), P()), check_vma=False))
+
+    step_fn = jax.jit(shard_map(
+        _make_run("step"), mesh=mesh, in_specs=base_specs + (P(),),
+        out_specs=(P(), P()), check_vma=False))
+    energy_fn = jax.jit(shard_map(
+        _make_run("energy"), mesh=mesh, in_specs=base_specs,
+        out_specs=(P(), P()), check_vma=False))
+
+    def call(maps, cp, spac, labeling, partner, tables):
+        ovfs = []
+        for i in range(st.sweeps * L):
+            labeling, ovf = step_fn(maps, cp, spac, labeling, partner,
+                                    tables, jnp.int32(i % L))
+            ovfs.append(ovf)       # stays on device; dispatches pipeline
+        energy, ovf_f = energy_fn(maps, cp, spac, labeling, partner, tables)
+        overflow = sum(ovfs, jnp.zeros((), jnp.int32)) + ovf_f
+        return labeling, energy, overflow
+
+    return call
 
 
 def make_apply_fn(mesh: Mesh, st: GroupLevelStatics, S: int, cp_mesh,

@@ -342,7 +342,7 @@ class MeshRegistration:
                     mciters=cfg.mciters[level],
                     num_labels=int(s["labels"].shape[0]),
                     dist_param=cfg.mcparam,
-                    proposals=min(8, max(1, cfg.mciters[level])))
+                    proposals=min(128, max(1, cfg.mciters[level])))
                 newenergy = float(MC.total_energy(labeling, unary, tcosts,
                                                   model.tables.triplets))
             elif dopt in ("HOCR", "FastPD"):

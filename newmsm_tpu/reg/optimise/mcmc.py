@@ -56,13 +56,16 @@ def mcmc_optimise(labeling, unary, tcosts, triplets, groups, group_mask,
 
     `proposals` (R): evaluate R geometric draws per triplet per color step
     and greedily take the best of the R*8 keep/replace combinations. The
-    per-step latency is dominated by the sequential per-color dispatch
-    chain (~55 us per color), so blocking R draws into one step retires
-    R proposals at ~the cost of one — the lever that takes the reference
-    default mciters=100000 from ~50 s to a few seconds. R=1 is exactly the
-    reference's one-draw-per-sweep schedule; R>1 draws the same
-    distribution in blocks (documented deviation: greedy best-of-block
-    instead of greedy per-draw — equal or lower energy per draw).
+    per-sweep cost is dominated by the sequential 9-color latency chain
+    (~7 ms per dispatched sweep at CP-3/L=19 on one v5e, measured
+    single-dispatch over 4000 sweeps — rounds 1-2's "0.50 ms/sweep" was a
+    differential-timing artifact), so blocking R draws into one step
+    retires R proposals at near-constant step latency: measured 0.88 ms
+    per draw at R=8 and 0.117 ms at R=128, taking the reference default
+    mciters=100000 from ~690 s to ~12 s. R=1 is exactly the reference's
+    one-draw-per-sweep schedule; R>1 draws the same distribution in blocks
+    (documented deviation: greedy best-of-block instead of greedy
+    per-draw — equal or lower energy per draw).
     """
     n_colors, G = groups.shape
     K = labeling.shape[0]

@@ -1,0 +1,206 @@
+"""Fused Pallas TPU kernel for pristine-icosphere point location.
+
+The XLA path (`ops.nearest._locate_pristine_soa`) expresses the 4-way
+subdivision descent as a lax.scan so the (fid, corners) carry materialises
+between levels (a correctness requirement there — see its docstring). That
+materialisation plus the layout moves of the (c,9) corner carry leave the
+VPU at ~6% utilisation (docs/PERFORMANCE.md, round-3 profile). Inside a
+single Pallas kernel every level's values are SSA registers computed exactly
+once, so the boundary-predicate desynchronisation hazard cannot occur and no
+carry ever touches memory: base-face argmax -> `res` unrolled subdivision
+steps -> barycentric weights, all on (block, 128) f32 tiles.
+
+Semantics match the reference octree + barycentric pipeline
+(octree.cpp:156-214, triangle.cpp:124-143) exactly as the XLA path does;
+ties on face boundaries may resolve to a different incident face than the
+XLA path under different FMA contraction, which is value-equivalent for
+resampling (the shared vertices carry the weight).
+
+The kernel runs only on TPU backends; callers gate on `use_pallas()` and
+fall back to the XLA path elsewhere (tests force `interpret=True` on CPU).
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+
+
+def use_pallas() -> bool:
+    """True when the fused locate kernel should be used: a TPU-class default
+    backend, unless disabled via NEWMSM_PALLAS=0 (or forced via =1)."""
+    flag = os.environ.get("NEWMSM_PALLAS", "").strip()
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    return jax.default_backend() not in ("cpu",)
+
+
+def _base_face_constants():
+    """Base icosahedron face corner coords and inward edge normals as plain
+    Python floats (compiled into the kernel)."""
+    from .nearest import _base_face_tables
+    bc, bn = _base_face_tables()         # (20,3,3) corners, (20,3,3) normals
+    return bc.tolist(), bn.tolist()
+
+
+def _locate_kernel(res: int, ux_ref, uy_ref, uz_ref,
+                   fid_ref, w0_ref, w1_ref, w2_ref):
+    bc, bn = _base_face_constants()
+
+    px, py, pz = ux_ref[:], uy_ref[:], uz_ref[:]
+    inv = jax.lax.rsqrt(px * px + py * py + pz * pz)
+    ux, uy, uz = px * inv, py * inv, pz * inv
+
+    # base face: running first-max argmax over the 20 faces of
+    # min-over-3-edges inward dot (ops.nearest._locate_pristine_soa).
+    # Only (best, fid) are carried; the corners are selected afterwards from
+    # the single barriered fid so they can never follow a different branch
+    # (on-boundary ties are between faces that all contain the point, so a
+    # best/fid desync is benign — a corner/fid desync is not).
+    best = None
+    fid = jnp.zeros(ux.shape, jnp.int32)
+    for f in range(20):
+        s = None
+        for e in range(3):
+            nxc, nyc, nzc = bn[f][e]
+            d = ux * nxc + uy * nyc + uz * nzc
+            s = d if s is None else jnp.minimum(s, d)
+        if best is None:
+            best = s
+        else:
+            upd = s > best
+            best = jnp.where(upd, s, best)
+            fid = jnp.where(upd, f, fid)
+    corners = [jnp.full(ux.shape, bc[0][v][i], ux.dtype)
+               for v in range(3) for i in range(3)]
+    for f in range(1, 20):
+        hit = fid == f
+        corners = [jnp.where(hit, bc[f][v][i], corners[3 * v + i])
+                   for v in range(3) for i in range(3)]
+
+    vax, vay, vaz, vbx, vby, vbz, vcx, vcy, vcz = corners
+
+    def mid(ax, ay, az, bx, by, bz):
+        x, y, z = ax + bx, ay + by, az + bz
+        s = jax.lax.rsqrt(x * x + y * y + z * z)
+        return x * s, y * s, z * s
+
+    def cross(a, b):
+        return (a[1] * b[2] - a[2] * b[1],
+                a[2] * b[0] - a[0] * b[2],
+                a[0] * b[1] - a[1] * b[0])
+
+    for _ in range(res):
+        m01 = mid(vax, vay, vaz, vbx, vby, vbz)
+        m12 = mid(vbx, vby, vbz, vcx, vcy, vcz)
+        m02 = mid(vax, vay, vaz, vcx, vcy, vcz)
+
+        def side(n, qx, qy, qz):
+            t = ux * n[0] + uy * n[1] + uz * n[2]
+            r = qx * n[0] + qy * n[1] + qz * n[2]
+            return t * r > 0
+
+        in_a = side(cross(m01, m02), vax, vay, vaz)
+        in_b = side(cross(m01, m12), vbx, vby, vbz)
+        in_c = side(cross(m12, m02), vcx, vcy, vcz)
+
+        # child k of face f lives at 4f+k (icosphere._retessellate):
+        # k=0 centre (m01,m12,m02), k=1 corner v0 (m02,v0,m01),
+        # k=2 corner v2 (m12,v2,m02), k=3 corner v1 (m01,v1,m12)
+        k = jnp.where(in_a, 1,
+                      jnp.where(in_b, 3,
+                                jnp.where(in_c, 2, 0))).astype(jnp.int32)
+        fid = 4 * fid + k
+        is_a, is_b, is_c = k == 1, k == 3, k == 2
+
+        def sel4(a_val, b_val, c_val, ctr):
+            return jnp.where(is_a, a_val,
+                             jnp.where(is_b, b_val,
+                                       jnp.where(is_c, c_val, ctr)))
+
+        na = tuple(sel4(m02[i], m01[i], m12[i], m01[i]) for i in range(3))
+        nb = tuple(sel4((vax, vay, vaz)[i], (vbx, vby, vbz)[i],
+                        (vcx, vcy, vcz)[i], m12[i]) for i in range(3))
+        nc = tuple(sel4(m01[i], m12[i], m02[i], m02[i]) for i in range(3))
+        vax, vay, vaz = na
+        vbx, vby, vbz = nb
+        vcx, vcy, vcz = nc
+
+    # barycentric weights (ops.nearest._bary_weights_soa,
+    # triangle.cpp:124-143): scale u onto the triangle plane, sub-areas
+    u = (ux, uy, uz)
+    va, vb, vc = (vax, vay, vaz), (vbx, vby, vbz), (vcx, vcy, vcz)
+
+    def dot(a, b):
+        return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+    def sub(a, b):
+        return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+    n = cross(sub(vc, va), sub(vb, va))
+    denom = dot(n, u)
+    denom = jnp.where(jnp.abs(denom) > 0, denom, 1.0)
+    si = dot(n, va) / denom
+    pp = (u[0] * si, u[1] * si, u[2] * si)
+
+    def area(a, b, c):
+        cr = cross(sub(b, a), sub(c, a))
+        return 0.5 * jnp.sqrt(dot(cr, cr))
+
+    aa = area(pp, vb, vc)
+    ab = area(pp, va, vc)
+    ac = area(pp, va, vb)
+    total = aa + ab + ac
+    total = jnp.where(total > 0, total, 1.0)
+
+    fid_ref[:] = fid
+    w0_ref[:] = aa / total
+    w1_ref[:] = ab / total
+    w2_ref[:] = ac / total
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("res", "block_rows", "interpret"))
+def locate_bary_pallas(px, py, pz, res: int, block_rows: int = 256,
+                       interpret: bool = False):
+    """Fused locate + barycentric weights on the pristine level-`res`
+    icosphere. px/py/pz: (...) query components, any radius. Returns
+    (fid (...) i32, w0, w1, w2) — the face id and the barycentric weight of
+    each of its three vertices in face vertex order."""
+    shape = px.shape
+    dt = px.dtype
+    q = px.size
+    rows = -(-q // _LANES)
+    grid = -(-rows // block_rows)
+    pad = grid * block_rows * _LANES - q
+
+    def prep(a):
+        return jnp.pad(a.reshape(-1), (0, pad)).reshape(-1, _LANES)
+
+    spec = pl.BlockSpec((block_rows, _LANES), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    out2 = (grid * block_rows, _LANES)
+    fid, w0, w1, w2 = pl.pallas_call(
+        functools.partial(_locate_kernel, res),
+        grid=(grid,),
+        in_specs=[spec, spec, spec],
+        out_specs=(spec, spec, spec, spec),
+        out_shape=(jax.ShapeDtypeStruct(out2, jnp.int32),
+                   jax.ShapeDtypeStruct(out2, dt),
+                   jax.ShapeDtypeStruct(out2, dt),
+                   jax.ShapeDtypeStruct(out2, dt)),
+        interpret=interpret,
+    )(prep(px), prep(py), prep(pz))
+
+    def post(a):
+        return a.reshape(-1)[:q].reshape(shape)
+
+    return post(fid), post(w0), post(w1), post(w2)

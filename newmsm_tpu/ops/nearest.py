@@ -160,6 +160,71 @@ def _base_face_tables():
             np.ascontiguousarray(nrm, np.float32))
 
 
+def _child_select_soa(u, va, vb, vc, m01, m12, m02, barrier: bool = True):
+    """Pick the subdivision child of triangle (va,vb,vc) containing unit
+    point u — robustly for exactly-on-boundary queries.
+
+    Each of the 4 children is scored by its minimum inward normalized
+    edge-plane distance, and the running first-max wins (centre, corner-a,
+    corner-b, corner-c order). The earlier strict half-plane test
+    (`dot(u,n)*dot(ref,n) > 0`) amplifies rounding noise for queries exactly
+    on subdivision edges/vertices: a ~1e-8 sign flip can route the descent
+    into a child that does NOT contain the point, after which every further
+    level compounds the error and the final face can be non-incident to the
+    query vertex (the reference octree's tiered fallbacks exist for the same
+    failure mode, octree.cpp:156-214). The argmax form instead picks the
+    least-violated child, so the containment violation stays bounded by
+    per-level rounding and the final face is always within ~eps of the query.
+
+    Children share planes: the 3 midpoint planes are used by the centre
+    (inward) and one corner each (outward), and each corner child's two
+    external edges lie on the parent's great-circle edge planes (m01 is in
+    span(va,vb), so plane(va,m01) == plane(va,vb)). 6 planes total.
+
+    All args are (x,y,z) component tuples. Returns child code k (i32):
+    0 centre, 1 corner v0, 3 corner v1, 2 corner v2 — the 4f+k emission
+    order of icosphere._retessellate.
+    """
+    def cross(a, b):
+        return (a[1] * b[2] - a[2] * b[1],
+                a[2] * b[0] - a[0] * b[2],
+                a[0] * b[1] - a[1] * b[0])
+
+    def dot(a, b):
+        return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+    def sdist(n, r):
+        # normalized signed distance of u to plane (origin, n), positive on
+        # the side of reference point r
+        du = dot(u, n) * jax.lax.rsqrt(dot(n, n))
+        return jnp.where(dot(r, n) >= 0, du, -du)
+
+    s1 = sdist(cross(m01, m12), m02)     # midpoint plane opposite corner-b
+    s2 = sdist(cross(m12, m02), m01)     # opposite corner-c
+    s3 = sdist(cross(m02, m01), m12)     # opposite corner-a
+    sab = sdist(cross(va, vb), vc)       # parent edge planes, inward
+    sbc = sdist(cross(vb, vc), va)
+    sca = sdist(cross(vc, va), vb)
+
+    s_ctr = jnp.minimum(s1, jnp.minimum(s2, s3))
+    s_a = jnp.minimum(sca, jnp.minimum(sab, -s3))
+    s_b = jnp.minimum(sab, jnp.minimum(sbc, -s1))
+    s_c = jnp.minimum(sbc, jnp.minimum(sca, -s2))
+
+    best = s_ctr
+    k = jnp.zeros(best.shape, jnp.int32)
+    for kk, s in ((1, s_a), (3, s_b), (2, s_c)):
+        upd = s > best
+        best = jnp.where(upd, s, best)
+        k = jnp.where(upd, kk, k)
+    # single evaluation point: fid and the corner selection must consume the
+    # SAME k (a recomputed copy could round differently at exact ties).
+    # Mosaic cannot lower optimization_barrier — Pallas callers pass
+    # barrier=False, safe because Mosaic lowers the single traced jaxpr
+    # op-by-op without rematerialising subexpressions.
+    return jax.lax.optimization_barrier(k) if barrier else k
+
+
 def _locate_pristine_soa(ux, uy, uz, res: int):
     """Gather-free point location on a PRISTINE icosphere: descend the 4-way
     subdivision tree with in-register midpoint math. The reference's octree
@@ -223,27 +288,9 @@ def _locate_pristine_soa(ux, uy, uz, res: int):
         #   k=0 centre (m01,m12,m02), k=1 corner v0 (m02,v0,m01),
         #   k=2 corner v2 (m12,v2,m02), k=3 corner v1 (m01,v1,m12)
         # (core/icosphere._retessellate; mesh.cpp:929-986)
-        def cross(a, b):
-            return (a[1] * b[2] - a[2] * b[1],
-                    a[2] * b[0] - a[0] * b[2],
-                    a[0] * b[1] - a[1] * b[0])
-
-        def side(n, px, py, pz):
-            # u on the same side of the plane (origin, n) as point p
-            t = ux * n[0] + uy * n[1] + uz * n[2]
-            r = px * n[0] + py * n[1] + pz * n[2]
-            return t * r > 0
-
-        na = cross(m01, m02)
-        nb = cross(m01, m12)
-        nc = cross(m12, m02)
-        in_a = side(na, vax, vay, vaz)
-        in_b = side(nb, vbx, vby, vbz)
-        in_c = side(nc, vcx, vcy, vcz)
-
-        k = jnp.where(in_a, 1,
-                      jnp.where(in_b, 3,
-                                jnp.where(in_c, 2, 0))).astype(jnp.int32)
+        k = _child_select_soa((ux, uy, uz),
+                              (vax, vay, vaz), (vbx, vby, vbz),
+                              (vcx, vcy, vcz), m01, m12, m02)
         is_a, is_b, is_c = k == 1, k == 3, k == 2
         fid = 4 * fid + k
 

@@ -2,22 +2,29 @@
 
 The XLA path (`ops.nearest._locate_pristine_soa`) expresses the 4-way
 subdivision descent as a lax.scan so the (fid, corners) carry materialises
-between levels (a correctness requirement there — see its docstring). That
-materialisation plus the layout moves of the (c,9) corner carry leave the
-VPU at ~6% utilisation (docs/PERFORMANCE.md, round-3 profile). Inside a
-single Pallas kernel every level's values are SSA registers computed exactly
-once, so the boundary-predicate desynchronisation hazard cannot occur and no
-carry ever touches memory: base-face argmax -> `res` unrolled subdivision
-steps -> barycentric weights, all on (block, 128) f32 tiles.
+between levels. That materialisation plus the layout moves of the (c,9)
+corner carry leave the VPU at ~6% utilisation (docs/PERFORMANCE.md, round-3
+profile). Inside a single Pallas kernel every level's values are SSA
+registers and no carry ever touches memory: base-face argmax -> `res`
+unrolled subdivision steps -> barycentric weights, all on (block, 128) f32
+tiles.
+
+Both paths share the robust per-level child selection
+(`nearest._child_select_soa`, argmax of min edge-plane containment): the
+round-3 strict half-plane test misrouted exactly-on-boundary queries under
+FMA-contraction differences, producing faces non-incident to vertex queries
+(the failure the round-3 partition-of-unity test caught).
 
 Semantics match the reference octree + barycentric pipeline
 (octree.cpp:156-214, triangle.cpp:124-143) exactly as the XLA path does;
 ties on face boundaries may resolve to a different incident face than the
-XLA path under different FMA contraction, which is value-equivalent for
-resampling (the shared vertices carry the weight).
+XLA path under different rounding, which is value-equivalent for resampling
+(the shared vertices carry the weight).
 
-The kernel runs only on TPU backends; callers gate on `use_pallas()` and
-fall back to the XLA path elsewhere (tests force `interpret=True` on CPU).
+The kernel runs only on TPU backends AND only after passing an on-device
+Pallas-vs-XLA probe (`ensure_validated()` — interpret-mode CPU tests do not
+cover Mosaic lowering); callers gate on `use_pallas()` and fall back to the
+XLA path elsewhere (tests force `interpret=True` on CPU).
 """
 from __future__ import annotations
 
@@ -32,15 +39,94 @@ from jax.experimental.pallas import tpu as pltpu
 _LANES = 128
 
 
+_VALIDATED: dict = {}    # backend name -> bool (on-device Pallas==XLA proof)
+
+
 def use_pallas() -> bool:
-    """True when the fused locate kernel should be used: a TPU-class default
-    backend, unless disabled via NEWMSM_PALLAS=0 (or forced via =1)."""
+    """True when the fused locate kernel should be used: a TPU default
+    backend (the kernel is Mosaic/TPU-only — pltpu.VMEM) that has PASSED the
+    on-device Pallas-vs-XLA validation probe (`ensure_validated`), unless
+    disabled via NEWMSM_PALLAS=0 (or forced via =1, e.g. for interpret-mode
+    tests).
+
+    NOTE: callers read this at trace time inside jitted functions, so the
+    env var must be set (and `ensure_validated()` run) before the first
+    compilation — changing either later has no effect on cached traces."""
     flag = os.environ.get("NEWMSM_PALLAS", "").strip()
     if flag == "0":
         return False
     if flag == "1":
         return True
-    return jax.default_backend() not in ("cpu",)
+    if jax.default_backend() != "tpu":
+        return False
+    ok = _VALIDATED.get("tpu")
+    if ok is None:
+        if not jax.core.trace_state_clean():
+            # mid-trace and never validated: cannot launch the probe here.
+            # Fall back to the XLA path for this trace; drivers/bench call
+            # ensure_validated() up front so this only happens for direct
+            # library use.
+            return False
+        ok = ensure_validated()
+    return bool(ok)
+
+
+def ensure_validated() -> bool:
+    """Run the Pallas kernel against the XLA scan path ON THE CURRENT
+    DEFAULT BACKEND and record whether the kernel may be used.
+
+    Interpret-mode CPU tests do not cover Mosaic lowering, so the real
+    backend must prove itself once per process: a probe batch of random
+    directions plus exact icosphere vertices (the boundary-tie worst case)
+    goes through both paths at res=4. Face ids may legitimately differ at
+    exact boundary ties, so the gate checks VALUE equivalence — the
+    weight-reconstructed positions agree, weights are a partition of unity,
+    and every returned face actually carries the query's weight mass.
+    """
+    backend = jax.default_backend()
+    if backend != "tpu":
+        return False
+    ok = _VALIDATED.get("tpu")
+    if ok is not None:
+        return ok
+
+    import numpy as np
+    from ..core.icosphere import icosphere
+    from . import nearest as nst
+
+    res = 4
+    ico = icosphere(res)
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(1024, 3)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    q = np.concatenate([q, ico.coords[:512].astype(np.float32)])
+    px, py, pz = (jnp.asarray(q[:, i]) for i in range(3))
+
+    fid_p, w0p, w1p, w2p = locate_bary_pallas(px, py, pz, res)
+    fid_x, va, vb, vc = nst._locate_pristine_soa(px, py, pz, res)
+    w0x, w1x, w2x = nst._bary_weights_soa((px, py, pz), va, vb, vc)
+
+    fid_p = np.asarray(fid_p)
+    Wp = np.stack([np.asarray(w0p), np.asarray(w1p), np.asarray(w2p)], 1)
+    Wx = np.stack([np.asarray(w0x), np.asarray(w1x), np.asarray(w2x)], 1)
+    pos_p = (ico.coords[ico.faces[fid_p]] * Wp[..., None]).sum(1)
+    pos_x = (ico.coords[ico.faces[np.asarray(fid_x)]] * Wx[..., None]).sum(1)
+
+    ok = (np.abs(Wp.sum(1) - 1.0).max() < 1e-4
+          and np.abs(pos_p - pos_x).max() < 1e-3
+          and np.abs(Wp.min()) >= -1e-4)
+    # vertex queries: the face must be incident and carry the mass
+    hit = ico.faces[fid_p[1024:]] == np.arange(512)[:, None]
+    ok = ok and bool(hit.any(axis=1).all()) and bool(
+        (np.abs(Wp[1024:][hit] - 1.0) < 1e-3).all())
+
+    _VALIDATED["tpu"] = bool(ok)
+    if not ok:
+        import warnings
+        warnings.warn("newmsm_tpu: Pallas locate kernel FAILED on-device "
+                      "validation against the XLA path; falling back to the "
+                      "XLA locate. Set NEWMSM_PALLAS=1 to force.")
+    return bool(ok)
 
 
 def _base_face_constants():
@@ -98,26 +184,22 @@ def _locate_kernel(res: int, ux_ref, uy_ref, uz_ref,
                 a[2] * b[0] - a[0] * b[2],
                 a[0] * b[1] - a[1] * b[0])
 
+    from .nearest import _child_select_soa
+
     for _ in range(res):
         m01 = mid(vax, vay, vaz, vbx, vby, vbz)
         m12 = mid(vbx, vby, vbz, vcx, vcy, vcz)
         m02 = mid(vax, vay, vaz, vcx, vcy, vcz)
 
-        def side(n, qx, qy, qz):
-            t = ux * n[0] + uy * n[1] + uz * n[2]
-            r = qx * n[0] + qy * n[1] + qz * n[2]
-            return t * r > 0
-
-        in_a = side(cross(m01, m02), vax, vay, vaz)
-        in_b = side(cross(m01, m12), vbx, vby, vbz)
-        in_c = side(cross(m12, m02), vcx, vcy, vcz)
-
         # child k of face f lives at 4f+k (icosphere._retessellate):
         # k=0 centre (m01,m12,m02), k=1 corner v0 (m02,v0,m01),
-        # k=2 corner v2 (m12,v2,m02), k=3 corner v1 (m01,v1,m12)
-        k = jnp.where(in_a, 1,
-                      jnp.where(in_b, 3,
-                                jnp.where(in_c, 2, 0))).astype(jnp.int32)
+        # k=2 corner v2 (m12,v2,m02), k=3 corner v1 (m01,v1,m12).
+        # Robust argmax-of-containment selection shared with the XLA scan
+        # path (nearest._child_select_soa) so both paths agree exactly.
+        k = _child_select_soa((ux, uy, uz),
+                              (vax, vay, vaz), (vbx, vby, vbz),
+                              (vcx, vcy, vcz), m01, m12, m02,
+                              barrier=False)
         fid = 4 * fid + k
         is_a, is_b, is_c = k == 1, k == 3, k == 2
 
@@ -183,7 +265,11 @@ def locate_bary_pallas(px, py, pz, res: int, block_rows: int = 256,
     pad = grid * block_rows * _LANES - q
 
     def prep(a):
-        return jnp.pad(a.reshape(-1), (0, pad)).reshape(-1, _LANES)
+        # pad with 1.0 (not 0): padded lanes would otherwise compute
+        # rsqrt(0)=inf -> NaN through the kernel; harmless while padded rows
+        # are sliced off, but a trap for any future cross-lane reduction
+        return jnp.pad(a.reshape(-1), (0, pad),
+                       constant_values=1.0).reshape(-1, _LANES)
 
     spec = pl.BlockSpec((block_rows, _LANES), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)

@@ -26,6 +26,10 @@ from ..ops.strain import triangular_strain
 RAD = 100.0
 FOLDING = 1e7
 FIX_NAN = 1e7
+# slack added to the in-range limit when counting patch members for the
+# overflow (grow-pmax) signal: absorbs the ~1e-3 matmul-form score noise so
+# capacity growth errs on the side of keeping every in-range vertex
+_OVERFLOW_GUARD = 1e-2
 
 
 class LevelTables(NamedTuple):
@@ -47,25 +51,180 @@ class LevelTables(NamedTuple):
 # --------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("pmax",))
-def build_patches(cp_coords, src_coords, maxsep, cprange, pmax: int):
+def build_patches(cp_coords, src_coords, maxsep, cprange, pmax: int,
+                  ball=None):
     """In-range source vertices per control point (within_controlpt_range,
     DiscreteCostFunction.cpp:102-107): geodesic distance < cprange*maxsep_k.
-    Returns (idx (K,pmax), mask (K,pmax), overflow (K,) bool)."""
+    Returns (idx (K,pmax), mask (K,pmax), overflow (K,) bool).
+
+    `ball`: optional (K,C) i32 candidate table (-1 padded) restricting the
+    search per CP — a provably-covering graph ball built host-side by
+    `patch_candidate_ball`. Cuts the dominant all-pairs distance + top_k
+    work by N/C (~20x at ico-5/CP-3) with EXACT in-range semantics: the
+    caller only passes a ball whose pristine cover radius certifies that no
+    in-range vertex can lie outside it (see patch_candidate_ball)."""
+    if ball is not None:
+        K, C = ball.shape
+        pad_c = max(pmax, C + ((-C) % 128)) - C
+        cand = jnp.pad(ball, ((0, 0), (0, pad_c)), constant_values=-1)
+        valid = cand >= 0
+        cc = src_coords[jnp.maximum(cand, 0)]          # (K,C',3) row gather
+        diff = cc - cp_coords[:, None, :]
+        chord = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, -1), 0.0))
+        dist = 2.0 * RAD * jnp.arcsin(jnp.clip(chord / (2.0 * RAD), -1.0, 1.0))
+        dist = jnp.where(valid, dist, jnp.inf)
+        limit = (cprange * maxsep)[:, None]
+        _, sel = jax.lax.top_k(-dist, pmax)            # (K,pmax) nearest-first
+        idx = jnp.take_along_axis(cand, sel, axis=1)
+        d_sel = jnp.take_along_axis(dist, sel, axis=1)
+        mask = d_sel < limit
+        overflow = (dist < limit + _OVERFLOW_GUARD).sum(axis=1) > pmax
+        return jnp.maximum(idx, 0).astype(jnp.int32), mask, overflow
+    # dense path: matmul-form scores rank candidates (fast but ~1e-3 noisy
+    # at RAD=100); the in-range mask is then decided on EXACT gathered
+    # small-difference distances — the reference's arithmetic
+    # (within_controlpt_range computes |p-q| directly)
     chord2 = (jnp.sum(cp_coords**2, axis=1)[:, None]
               - 2.0 * cp_coords @ src_coords.T
               + jnp.sum(src_coords**2, axis=1)[None, :])
-    chord = jnp.sqrt(jnp.maximum(chord2, 0.0))
-    dist = 2.0 * RAD * jnp.arcsin(jnp.clip(chord / (2.0 * RAD), -1.0, 1.0))
+    chord_n = jnp.sqrt(jnp.maximum(chord2, 0.0))
+    dist_n = 2.0 * RAD * jnp.arcsin(jnp.clip(chord_n / (2.0 * RAD), -1.0, 1.0))
     limit = (cprange * maxsep)[:, None]
     # lane-align the top_k axis (slow TPU codegen otherwise)
-    npad = (-dist.shape[1]) % 128
-    neg = jnp.pad(-dist, ((0, 0), (0, npad)), constant_values=-jnp.inf)
+    npad = (-dist_n.shape[1]) % 128
+    neg = jnp.pad(-dist_n, ((0, 0), (0, npad)), constant_values=-jnp.inf)
     _, idx = jax.lax.top_k(neg, pmax)                  # (K,pmax) nearest-first
-    idx = jnp.minimum(idx, dist.shape[1] - 1)
-    d_sel = jnp.take_along_axis(dist, idx, axis=1)
+    idx = jnp.minimum(idx, dist_n.shape[1] - 1)
+    diff = src_coords[idx] - cp_coords[:, None, :]
+    chord = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, -1), 0.0))
+    d_sel = 2.0 * RAD * jnp.arcsin(jnp.clip(chord / (2.0 * RAD), -1.0, 1.0))
     mask = d_sel < limit
-    overflow = (dist < limit).sum(axis=1) > pmax
+    # the noisy ranking can only lose an in-range vertex when the patch is
+    # within score-noise of capacity, so the guarded count triggers the
+    # caller's pmax-growth loop there
+    overflow = (dist_n < limit + _OVERFLOW_GUARD).sum(axis=1) > pmax
     return idx.astype(jnp.int32), mask, overflow
+
+
+@functools.lru_cache(maxsize=None)
+def _ball_table_np(res: int, n_centres: int, depth: int):
+    """(n_centres, C) graph-ball candidate table on the pristine level-`res`
+    icosphere, -1 padded: for centre vertex k (CP ids are a prefix of the
+    fine ids — subdivision appends midpoints), all fine vertices within
+    `depth` edges of k."""
+    import numpy as np
+    from ..core.icosphere import icosphere
+    nbr = icosphere(res).nbr_idx
+    try:
+        from ..native import _geometry
+        tab = _geometry.bfs_ball(np.ascontiguousarray(nbr, np.int32),
+                                 n_centres, depth)
+    except ImportError:
+        rows = []
+        for v in range(n_centres):
+            seen = {v}
+            frontier = [v]
+            for _ in range(depth):
+                nxt = []
+                for a in frontier:
+                    for b in nbr[a]:
+                        if b >= 0 and int(b) not in seen:
+                            seen.add(int(b))
+                            nxt.append(int(b))
+                frontier = nxt
+            rows.append(sorted(seen))
+        cmax = max(len(r) for r in rows)
+        tab = np.empty((n_centres, cmax), np.int32)
+        for v, r in enumerate(rows):
+            tab[v, : len(r)] = r
+            tab[v, len(r):] = v
+    # self-padding duplicates -> -1 (duplicate patch members would double-
+    # count in the similarity reductions)
+    eq = tab == np.arange(n_centres, dtype=tab.dtype)[:, None]
+    tab = tab.copy()
+    tab[eq & (np.cumsum(eq, axis=1) > 1)] = -1
+    return tab
+
+
+@functools.lru_cache(maxsize=None)
+def _ball_cover_np(res: int, n_centres: int, depth: int) -> float:
+    """Certified pristine cover radius of `_ball_table_np(res,n_centres,
+    depth)` at RAD: the minimum over centres of the arc distance from the
+    centre to its NEAREST non-ball vertex. Any query within this radius of
+    centre k (pristine geometry) is guaranteed to be a ball member."""
+    import numpy as np
+    from ..core.icosphere import icosphere
+    tab = _ball_table_np(res, n_centres, depth)
+    u = icosphere(res).coords.astype(np.float64)
+    cover = np.inf
+    chunk = 256
+    for s in range(0, n_centres, chunk):
+        e = min(s + chunk, n_centres)
+        cosd = np.clip(u[s:e] @ u.T, -1.0, 1.0)        # (c,N)
+        dist = RAD * np.arccos(cosd)
+        t = tab[s:e]
+        in_ball = np.zeros_like(dist, bool)
+        rr, cc = np.nonzero(t >= 0)
+        in_ball[rr, t[rr, cc]] = True
+        dist[in_ball] = np.inf
+        cover = min(cover, float(dist.min()))
+    return cover
+
+
+def patch_candidate_ball(cp_coords, src_coords, faces, limits, rad=RAD):
+    """Host-side: build a candidate ball table for `build_patches` together
+    with its exactness certificate, or return None when the certificate
+    fails (caller then uses the dense path).
+
+    The in-range test runs on the DEFORMED source sphere; the ball is a
+    graph ball around pristine vertex k. Certificate: for any source vertex
+    v with deformed arc distance d(cp_k, v) <= limit_k, its pristine arc
+    distance to vertex k is bounded by walking the deformed mesh path —
+      arc_pri(k, v) <= mesh_pri(k, v) <= s_max * mesh_def(k, v)
+                    <= s_max * (detour * (d0_k + limit_k) + slack * e_max)
+    with s_max the max per-edge deformed/pristine stretch, d0_k the
+    deformed distance from CP k to source vertex k, detour=1.3 the
+    hex-lattice path-over-arc factor (2/sqrt(3)=1.155 with margin) and
+    slack=4 edges of quantisation. The smallest BFS depth whose certified
+    pristine cover radius (`_ball_cover_np`) exceeds this bound is used.
+    Registration warps pass the unfold gate and are mildly deformed, so the
+    certificate holds with wide margin in practice; wild geometry falls
+    back to the exact dense path (None).
+    """
+    import numpy as np
+    from ..core.icosphere import _NVERT_TO_RES, icosphere
+    src_coords = np.asarray(src_coords)
+    cp_coords = np.asarray(cp_coords)
+    faces = np.asarray(faces)
+    N, K = src_coords.shape[0], cp_coords.shape[0]
+    res = _NVERT_TO_RES.get(N)
+    if res is None or K > N:
+        return None
+    ico = icosphere(res)
+    if ico.faces.shape != faces.shape or not np.array_equal(ico.faces, faces):
+        return None
+    pri = ico.coords * rad
+    ev = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]],
+                         faces[:, [2, 0]]])
+    d_def = np.linalg.norm(src_coords[ev[:, 0]] - src_coords[ev[:, 1]],
+                           axis=1)
+    d_pri = np.linalg.norm(pri[ev[:, 0]] - pri[ev[:, 1]], axis=1)
+    s_max = float((d_def / np.maximum(d_pri, 1e-30)).max())
+    if not np.isfinite(s_max) or s_max > 2.0:
+        return None
+    e_max = float(
+        2.0 * rad * np.arcsin(np.clip(d_def.max() / (2.0 * rad), -1, 1)))
+    chord0 = np.linalg.norm(cp_coords - src_coords[:K], axis=1)
+    d0 = 2.0 * rad * np.arcsin(np.clip(chord0 / (2.0 * rad), -1, 1))
+    r_req = float(s_max * (1.3 * (d0 + np.asarray(limits)).max()
+                           + 4.0 * e_max))
+    for depth in (4, 6, 8, 10, 12, 14, 16):
+        if _ball_cover_np(res, K, depth) > r_req:
+            tab = _ball_table_np(res, K, depth)
+            if tab.shape[1] >= N // 2:
+                return None                    # no useful pruning
+            return tab
+    return None
 
 
 def rotated_label_positions(cp_coords, labels, centre):

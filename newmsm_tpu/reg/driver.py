@@ -113,6 +113,10 @@ class MeshRegistration:
 
     # ---- main entry ------------------------------------------------------
     def run_multiresolutions(self, config: RegConfig | str | None = None):
+        # prove the Pallas locate kernel on the real backend once, before
+        # any trace could bake in the unvalidated fallback (VERDICT r3 #1)
+        from ..ops.pallas_locate import ensure_validated
+        ensure_validated()
         if getattr(self, "profile_dir", None):
             # device-level tracing (SURVEY §5): one perfetto/xplane trace of
             # the whole run, viewable in TensorBoard / xprof

@@ -138,6 +138,10 @@ class GroupMeshRegistration:
 
     # ---- main ------------------------------------------------------------
     def run_multiresolutions(self, config: RegConfig | str | None = None):
+        # prove the Pallas locate kernel on the real backend once, before
+        # any trace could bake in the unvalidated fallback (VERDICT r3 #1)
+        from ..ops.pallas_locate import ensure_validated
+        ensure_validated()
         if getattr(self, "profile_dir", None):
             import jax as _jax
             with _jax.profiler.trace(self.profile_dir):

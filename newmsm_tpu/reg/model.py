@@ -168,8 +168,14 @@ class PairwiseModel:
         lbl = jnp.asarray(labels, jnp.float32)
 
         rots, rl = C.rotated_label_positions(cp, lbl, self.centre)
+        # certified candidate ball: prunes the all-pairs distance + top_k
+        # (None -> exact dense path when the certificate fails)
+        ball_np = C.patch_candidate_ball(
+            np.asarray(cp), np.asarray(src), self.source.faces,
+            cfg.cprange * np.asarray(self.tables.maxsep))
+        ball = None if ball_np is None else jnp.asarray(ball_np)
         patch_idx, patch_mask, overflow = C.build_patches(
-            cp, src, self.tables.maxsep, cfg.cprange, self.pmax)
+            cp, src, self.tables.maxsep, cfg.cprange, self.pmax, ball)
         # the reference's patches are uncapped vectors
         # (DiscreteCostFunction.cpp:334-351): on overflow, grow pmax and
         # rebuild rather than silently dropping in-range vertices
@@ -181,7 +187,7 @@ class PairwiseModel:
                 print(f"patch capacity overflow: growing pmax to {self.pmax}")
                 self._warned_overflow = True
             patch_idx, patch_mask, overflow = C.build_patches(
-                cp, src, self.tables.maxsep, cfg.cprange, self.pmax)
+                cp, src, self.tables.maxsep, cfg.cprange, self.pmax, ball)
 
         # AbsoluteWeights: max-over-dims of cfweights resampled to CP grid
         # (resample_weights, DiscreteCostFunction.cpp:303-323)

@@ -144,6 +144,23 @@ def time_fn(fn, args, iters=5):
     return (t_l - t_s) / (10 * iters)
 
 
+def _native_baseline() -> dict:
+    """Reference-class denominator: the C++/OpenMP unary work unit
+    (native/_geometry.bench_unary — patch rotate -> BVH nearest-triangle ->
+    barycentric -> weighted Pearson, double precision, the reference's
+    computeUnaryCost DiscreteCostFunction.cpp:353-383) measured at these
+    exact shapes by scripts/bench_native_ref.py in a CPU-pinned subprocess,
+    extrapolated to the 8-core class from the single-thread rate (this VM's
+    2 vCPUs share ~1.2 cores of real throughput; the reference reports
+    near-linear OpenMP scaling, README.md:7)."""
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "bench_native_ref.py")
+    out = subprocess.run([sys.executable, script], capture_output=True,
+                         text=True, timeout=1800)
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
 def _cpu_worker():
     """Measure the identical kernel on the host CPU backend. Runs in a
     subprocess pinned to CPU via jax.config (the environment pre-imports
@@ -184,19 +201,29 @@ def main():
     rate = work / t_dev
 
     vs_baseline = 0.0
+    extras = {}
     if dev.platform != "cpu":
         try:
-            vs_baseline = _cpu_baseline_time() / t_dev
+            nat = _native_baseline()
+            extras["baseline_cpp_8core_vls"] = nat["est_8core_vls"]
+            extras["baseline_cpp_rows"] = nat["rows"]
+            vs_baseline = rate / nat["est_8core_vls"]
+        except Exception:
+            pass
+        try:
+            extras["vs_jax_cpu_host"] = round(_cpu_baseline_time() / t_dev, 2)
         except Exception:
             pass
 
     print(json.dumps({
         "metric": "unary-cost-eval vertex-labels/sec/chip "
-                  "(K=642,L=19,patch=128,target=10242)",
+                  "(K=642,L=19,patch=128,target=10242); vs_baseline = "
+                  "vs 8-core-class C++/OpenMP reference work unit",
         "value": round(rate, 1),
         "unit": "vertex-labels/s",
         "vs_baseline": round(vs_baseline, 2),
         "pallas_validated_on_device": pallas_ok,
+        **extras,
     }))
 
 

@@ -7,12 +7,40 @@ core.icosphere / tests are used instead.
 """
 from __future__ import annotations
 
+def _try_build() -> bool:
+    """One-shot in-place build of the extension (the .so is not committed).
+    Disable with NEWMSM_NO_BUILD=1."""
+    import os
+    import pathlib
+    import subprocess
+    import sys
+    if os.environ.get("NEWMSM_NO_BUILD"):
+        return False
+    root = pathlib.Path(__file__).resolve().parents[2]
+    if not (root / "setup.py").exists():
+        return False
+    try:
+        subprocess.run([sys.executable, "setup.py", "build_ext", "--inplace"],
+                       cwd=root, capture_output=True, timeout=300, check=True)
+        return True
+    except Exception:
+        return False
+
+
 try:
     from . import _geometry  # type: ignore
     HAVE_NATIVE = True
 except ImportError:  # pragma: no cover - build-environment dependent
-    _geometry = None
-    HAVE_NATIVE = False
+    if _try_build():
+        try:
+            from . import _geometry  # type: ignore
+            HAVE_NATIVE = True
+        except ImportError:
+            _geometry = None
+            HAVE_NATIVE = False
+    else:
+        _geometry = None
+        HAVE_NATIVE = False
 
 
 def adjacency(faces, nverts):

@@ -19,9 +19,14 @@
 #include <numpy/arrayobject.h>
 
 #include <algorithm>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
 #include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 namespace {
 
@@ -341,6 +346,75 @@ static bool tri_project_test(const Vec3& q, const Vec3& v0, const Vec3& v1,
     return true;
 }
 
+/* per-query walk: pass 1 contained candidates by min boundary distance
+ * (octree tier 1/2), pass 2 vertex-distance fallback (octree.cpp:194-208);
+ * prune by box distance against the best fallback radius */
+static int32_t bvh_query(const BVH& bvh, const double* c, const int32_t* f,
+                         const Vec3& q, std::vector<int32_t>& node_stack,
+                         int32_t seed_tid = -1) {
+    int32_t best = -1;
+    double best_bd = 1e300;
+    int32_t best_fb = -1;
+    double best_fb_d = 1e300;
+    if (seed_tid >= 0) {
+        /* warm start: consecutive patch points are spatially coherent, so
+         * the previous answer's vertex distance bounds the search radius */
+        const int32_t* fv = f + 3 * seed_tid;
+        for (int a = 0; a < 3; ++a) {
+            Vec3 v{c[3 * fv[a]], c[3 * fv[a] + 1], c[3 * fv[a] + 2]};
+            double d = norm(sub(q, v));
+            if (d < best_fb_d) { best_fb_d = d; best_fb = seed_tid; }
+        }
+    }
+    node_stack.clear();
+    node_stack.push_back(0);
+    while (!node_stack.empty()) {
+        int32_t ni = node_stack.back();
+        node_stack.pop_back();
+        const BVHNode& node = bvh.nodes[(size_t)ni];
+        double b2 = box_dist2(node, q);
+        if (b2 > best_fb_d * best_fb_d) continue;
+        if (node.left >= 0) {
+            /* nearest child first so the fallback radius shrinks early and
+             * prunes the rest of the tree (octree descends directly to the
+             * containing leaf for the same reason) */
+            double dl = box_dist2(bvh.nodes[(size_t)node.left], q);
+            double dr = box_dist2(bvh.nodes[(size_t)node.right], q);
+            if (dl <= dr) {
+                node_stack.push_back(node.right);
+                node_stack.push_back(node.left);
+            } else {
+                node_stack.push_back(node.left);
+                node_stack.push_back(node.right);
+            }
+            continue;
+        }
+        for (int32_t i = node.start; i < node.start + node.count; ++i) {
+            int32_t tid = bvh.tri_order[(size_t)i];
+            Vec3 v0{c[3 * f[3 * tid]], c[3 * f[3 * tid] + 1], c[3 * f[3 * tid] + 2]};
+            Vec3 v1{c[3 * f[3 * tid + 1]], c[3 * f[3 * tid + 1] + 1], c[3 * f[3 * tid + 1] + 2]};
+            Vec3 v2{c[3 * f[3 * tid + 2]], c[3 * f[3 * tid + 2] + 1], c[3 * f[3 * tid + 2] + 2]};
+            double bd, pd;
+            if (tri_project_test(q, v0, v1, v2, &bd, &pd)) {
+                /* octree leaf semantics: among contained candidates that
+                 * are near the query (not the antipodal hit), take min
+                 * boundary distance */
+                if (pd < best_fb_d + 1e-9 && bd < best_bd) {
+                    best_bd = bd;
+                    best = tid;
+                }
+            }
+            double dmin = std::min({norm(sub(q, v0)), norm(sub(q, v1)),
+                                    norm(sub(q, v2))});
+            if (dmin < best_fb_d) {
+                best_fb_d = dmin;
+                best_fb = tid;
+            }
+        }
+    }
+    return best >= 0 ? best : best_fb;
+}
+
 static PyObject* nearest_triangle_bvh(PyObject*, PyObject* args) {
     PyArrayObject *coords_obj, *faces_obj, *query_obj;
     if (!PyArg_ParseTuple(args, "O!O!O!", &PyArray_Type, &coords_obj,
@@ -370,55 +444,190 @@ static PyObject* nearest_triangle_bvh(PyObject*, PyObject* args) {
     std::vector<int32_t> node_stack;
     for (npy_intp qi = 0; qi < nq; ++qi) {
         Vec3 q{qd[3 * qi], qd[3 * qi + 1], qd[3 * qi + 2]};
-        /* pass 1: contained candidates, min boundary distance (tier 1/2);
-         * prune by centroid distance radius grown adaptively */
-        int32_t best = -1;
-        double best_bd = 1e300;
-        int32_t best_fb = -1;
-        double best_fb_d = 1e300;
-        node_stack.clear();
-        node_stack.push_back(0);
-        while (!node_stack.empty()) {
-            int32_t ni = node_stack.back();
-            node_stack.pop_back();
-            const BVHNode& node = bvh.nodes[(size_t)ni];
-            double b2 = box_dist2(node, q);
-            if (b2 > best_fb_d * best_fb_d) continue;
-            if (node.left >= 0) {
-                node_stack.push_back(node.left);
-                node_stack.push_back(node.right);
-                continue;
-            }
-            for (int32_t i = node.start; i < node.start + node.count; ++i) {
-                int32_t tid = bvh.tri_order[(size_t)i];
-                Vec3 v0{c[3 * f[3 * tid]], c[3 * f[3 * tid] + 1], c[3 * f[3 * tid] + 2]};
-                Vec3 v1{c[3 * f[3 * tid + 1]], c[3 * f[3 * tid + 1] + 1], c[3 * f[3 * tid + 1] + 2]};
-                Vec3 v2{c[3 * f[3 * tid + 2]], c[3 * f[3 * tid + 2] + 1], c[3 * f[3 * tid + 2] + 2]};
-                double bd, pd;
-                if (tri_project_test(q, v0, v1, v2, &bd, &pd)) {
-                    /* octree leaf semantics: among contained candidates that
-                     * are near the query (not the antipodal hit), take min
-                     * boundary distance */
-                    if (pd < best_fb_d + 1e-9 && bd < best_bd) {
-                        best_bd = bd;
-                        best = tid;
-                    }
-                }
-                double dmin = std::min({norm(sub(q, v0)), norm(sub(q, v1)),
-                                        norm(sub(q, v2))});
-                if (dmin < best_fb_d) {
-                    best_fb_d = dmin;
-                    best_fb = tid;
-                }
-            }
-        }
-        o[qi] = best >= 0 ? best : best_fb;
+        o[qi] = bvh_query(bvh, c, f, q, node_stack);
     }
 
     Py_DECREF(coords);
     Py_DECREF(faces);
     Py_DECREF(query);
     return (PyObject*)out;
+}
+
+/* ----------------------------------------------------------------------- */
+/* bench_unary — the reference's computeUnaryCost work unit                 */
+/* (DiscreteCostFunction.cpp:353-383) as optimized C++/OpenMP: per          */
+/* (CP k, label l): build the Rodrigues rotation CP_k -> RL_kl              */
+/* (point.cpp:97-152), rotate the patch, BVH nearest-triangle per point     */
+/* (the octree equivalent, octree.cpp:156-214), ray-projected barycentric   */
+/* interpolation (triangle.cpp:124-143), weighted Pearson similarity        */
+/* (similarities.cpp:129-158), cost = 1-(1+r)/2. Calibrates the TPU kernel  */
+/* against the reference's hardware class (CPU/OpenMP, double precision).   */
+/* ----------------------------------------------------------------------- */
+
+static void rodrigues_mat(const double* a, const double* b, double R[9]) {
+    /* rotation taking unit a to unit b (estimate_rotation_matrix) */
+    double d = a[0] * b[0] + a[1] * b[1] + a[2] * b[2];
+    double cx = a[1] * b[2] - a[2] * b[1];
+    double cy = a[2] * b[0] - a[0] * b[2];
+    double cz = a[0] * b[1] - a[1] * b[0];
+    double cn = std::sqrt(cx * cx + cy * cy + cz * cz);
+    if (cn < 1e-12) {
+        for (int i = 0; i < 9; ++i) R[i] = 0.0;
+        if (d > 0) { R[0] = R[4] = R[8] = 1.0; }
+        else { R[0] = R[4] = R[8] = -1.0; }
+        return;
+    }
+    double ux = cx / cn, uy = cy / cn, uz = cz / cn;
+    double th = std::acos(std::max(-1.0, std::min(1.0, d)));
+    double s = std::sin(th), c1 = 1.0 - std::cos(th);
+    /* R = I + s*U + c1*U^2, U = skew(u) */
+    R[0] = 1.0 + c1 * (ux * ux - 1.0);
+    R[1] = -s * uz + c1 * ux * uy;
+    R[2] = s * uy + c1 * ux * uz;
+    R[3] = s * uz + c1 * ux * uy;
+    R[4] = 1.0 + c1 * (uy * uy - 1.0);
+    R[5] = -s * ux + c1 * uy * uz;
+    R[6] = -s * uy + c1 * ux * uz;
+    R[7] = s * ux + c1 * uy * uz;
+    R[8] = 1.0 + c1 * (uz * uz - 1.0);
+}
+
+static PyObject* bench_unary(PyObject*, PyObject* args) {
+    PyArrayObject *tc_o, *tf_o, *td_o, *cp_o, *rl_o, *sp_o, *sd_o, *mk_o;
+    long reps, threads;
+    if (!PyArg_ParseTuple(args, "O!O!O!O!O!O!O!O!ll",
+                          &PyArray_Type, &tc_o, &PyArray_Type, &tf_o,
+                          &PyArray_Type, &td_o, &PyArray_Type, &cp_o,
+                          &PyArray_Type, &rl_o, &PyArray_Type, &sp_o,
+                          &PyArray_Type, &sd_o, &PyArray_Type, &mk_o,
+                          &reps, &threads))
+        return nullptr;
+    PyArrayObject* tc = (PyArrayObject*)PyArray_FROM_OTF(
+        (PyObject*)tc_o, NPY_DOUBLE, NPY_ARRAY_IN_ARRAY);
+    PyArrayObject* tf = (PyArrayObject*)PyArray_FROM_OTF(
+        (PyObject*)tf_o, NPY_INT32, NPY_ARRAY_IN_ARRAY);
+    PyArrayObject* td = (PyArrayObject*)PyArray_FROM_OTF(
+        (PyObject*)td_o, NPY_DOUBLE, NPY_ARRAY_IN_ARRAY);
+    PyArrayObject* cp = (PyArrayObject*)PyArray_FROM_OTF(
+        (PyObject*)cp_o, NPY_DOUBLE, NPY_ARRAY_IN_ARRAY);
+    PyArrayObject* rl = (PyArrayObject*)PyArray_FROM_OTF(
+        (PyObject*)rl_o, NPY_DOUBLE, NPY_ARRAY_IN_ARRAY);
+    PyArrayObject* sp = (PyArrayObject*)PyArray_FROM_OTF(
+        (PyObject*)sp_o, NPY_DOUBLE, NPY_ARRAY_IN_ARRAY);
+    PyArrayObject* sd = (PyArrayObject*)PyArray_FROM_OTF(
+        (PyObject*)sd_o, NPY_DOUBLE, NPY_ARRAY_IN_ARRAY);
+    PyArrayObject* mk = (PyArrayObject*)PyArray_FROM_OTF(
+        (PyObject*)mk_o, NPY_UINT8, NPY_ARRAY_IN_ARRAY);
+    if (!tc || !tf || !td || !cp || !rl || !sp || !sd || !mk) return nullptr;
+
+    const double* c = (const double*)PyArray_DATA(tc);
+    const int32_t* f = (const int32_t*)PyArray_DATA(tf);
+    const double* data = (const double*)PyArray_DATA(td);
+    const double* cpd = (const double*)PyArray_DATA(cp);
+    const double* rld = (const double*)PyArray_DATA(rl);
+    const double* spd = (const double*)PyArray_DATA(sp);
+    const double* sdd = (const double*)PyArray_DATA(sd);
+    const uint8_t* mkd = (const uint8_t*)PyArray_DATA(mk);
+    const npy_intp t = PyArray_DIM(tf, 0);
+    const npy_intp K = PyArray_DIM(rl, 0);
+    const npy_intp L = PyArray_DIM(rl, 1);
+    const npy_intp P = PyArray_DIM(sp, 1);
+
+    BVH bvh;
+    build_bvh(bvh, c, f, t);
+
+    npy_intp dims[2] = {K, L};
+    PyArrayObject* out =
+        (PyArrayObject*)PyArray_SimpleNew(2, dims, NPY_DOUBLE);
+    double* o = (double*)PyArray_DATA(out);
+
+#ifdef _OPENMP
+    omp_set_num_threads((int)threads);
+#endif
+    double elapsed = 0.0;
+    Py_BEGIN_ALLOW_THREADS
+    auto t0 = std::chrono::steady_clock::now();
+    for (long rep = 0; rep < reps; ++rep) {
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+        {
+            std::vector<int32_t> node_stack;
+#ifdef _OPENMP
+#pragma omp for collapse(2) schedule(dynamic, 4)
+#endif
+            for (npy_intp k = 0; k < K; ++k) {
+                for (npy_intp l = 0; l < L; ++l) {
+                    double R[9];
+                    double cpn[3] = {cpd[3 * k], cpd[3 * k + 1],
+                                     cpd[3 * k + 2]};
+                    double cl = std::sqrt(cpn[0] * cpn[0] + cpn[1] * cpn[1] +
+                                          cpn[2] * cpn[2]);
+                    for (int i = 0; i < 3; ++i) cpn[i] /= cl;
+                    double tg[3] = {rld[(k * L + l) * 3],
+                                    rld[(k * L + l) * 3 + 1],
+                                    rld[(k * L + l) * 3 + 2]};
+                    double tl = std::sqrt(tg[0] * tg[0] + tg[1] * tg[1] +
+                                          tg[2] * tg[2]);
+                    for (int i = 0; i < 3; ++i) tg[i] /= tl;
+                    rodrigues_mat(cpn, tg, R);
+
+                    /* weighted Pearson accumulators (weights = mask) */
+                    double sw = 0, sa = 0, sb = 0, saa = 0, sbb = 0, sab = 0;
+                    int32_t prev_tid = -1;
+                    for (npy_intp p = 0; p < P; ++p) {
+                        if (!mkd[k * P + p]) continue;
+                        const double* s0 = spd + (k * P + p) * 3;
+                        Vec3 q{R[0] * s0[0] + R[1] * s0[1] + R[2] * s0[2],
+                               R[3] * s0[0] + R[4] * s0[1] + R[5] * s0[2],
+                               R[6] * s0[0] + R[7] * s0[1] + R[8] * s0[2]};
+                        int32_t tid = bvh_query(bvh, c, f, q, node_stack,
+                                                prev_tid);
+                        prev_tid = tid;
+                        const int32_t* fv = f + 3 * tid;
+                        Vec3 v0{c[3 * fv[0]], c[3 * fv[0] + 1], c[3 * fv[0] + 2]};
+                        Vec3 v1{c[3 * fv[1]], c[3 * fv[1] + 1], c[3 * fv[1] + 2]};
+                        Vec3 v2{c[3 * fv[2]], c[3 * fv[2] + 1], c[3 * fv[2] + 2]};
+                        /* ray-projected barycentric (triangle.cpp:124-143) */
+                        Vec3 e1 = sub(v2, v0), e2 = sub(v1, v0);
+                        Vec3 nn = cross(e1, e2);
+                        double denom = dot(nn, q);
+                        double si = denom != 0.0 ? dot(nn, v0) / denom : 1.0;
+                        Vec3 pp = scale(q, si);
+                        double aa = 0.5 * norm(cross(sub(v1, pp), sub(v2, pp)));
+                        double ab = 0.5 * norm(cross(sub(v0, pp), sub(v2, pp)));
+                        double ac = 0.5 * norm(cross(sub(v0, pp), sub(v1, pp)));
+                        double tot = aa + ab + ac;
+                        if (tot <= 0) tot = 1.0;
+                        double val = (aa * data[fv[0]] + ab * data[fv[1]] +
+                                      ac * data[fv[2]]) / tot;
+                        double a = sdd[k * P + p];
+                        sw += 1.0; sa += a; sb += val;
+                        saa += a * a; sbb += val * val; sab += a * val;
+                    }
+                    double r = 0.0;
+                    if (sw > 0) {
+                        double ma = sa / sw, mb = sb / sw;
+                        double va = saa / sw - ma * ma;
+                        double vb = sbb / sw - mb * mb;
+                        double cv = sab / sw - ma * mb;
+                        double dn = std::sqrt(std::max(va, 0.0)) *
+                                    std::sqrt(std::max(vb, 0.0));
+                        r = (va <= 0 || vb <= 0) ? 0.0
+                                                 : cv / (dn > 0 ? dn : 1.0);
+                    }
+                    o[k * L + l] = 1.0 - (1.0 + r) * 0.5;
+                }
+            }
+        }
+    }
+    auto t1 = std::chrono::steady_clock::now();
+    elapsed = std::chrono::duration<double>(t1 - t0).count() / (double)reps;
+    Py_END_ALLOW_THREADS
+
+    Py_DECREF(tc); Py_DECREF(tf); Py_DECREF(td); Py_DECREF(cp);
+    Py_DECREF(rl); Py_DECREF(sp); Py_DECREF(sd); Py_DECREF(mk);
+    return Py_BuildValue("dN", elapsed, (PyObject*)out);
 }
 
 /* greedy_color(row_ptr (N+1,) int64, col (E,) int32) -> (N,) int32
@@ -480,6 +689,9 @@ static PyMethodDef methods[] = {
      "nearest_triangle_bvh(coords, faces, queries) -> (Q,) triangle ids"},
     {"greedy_color", greedy_color, METH_VARARGS,
      "greedy_color(row_ptr, col) -> (N,) first-fit colors, node order"},
+    {"bench_unary", bench_unary, METH_VARARGS,
+     "bench_unary(tgt_coords, tgt_faces, tgt_data, cp, rl, patch_pts, "
+     "patch_data, mask, reps, threads) -> (sec_per_volume, costs (K,L))"},
     {nullptr, nullptr, 0, nullptr}};
 
 static struct PyModuleDef moduledef = {

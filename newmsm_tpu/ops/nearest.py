@@ -259,7 +259,12 @@ def _locate_pristine_soa(ux, uy, uz, res: int):
     fid = jnp.argmax(smin, axis=1).astype(jnp.int32)           # (c,)
 
     onehot = jax.nn.one_hot(fid, 20, dtype=dt)                 # (c,20)
-    corners = onehot @ jnp.asarray(bc.reshape(20, 9), dt)      # (c,9)
+    # HIGHEST precision: the TPU MXU default (bf16 inputs) drifts the base
+    # corners by ~1e-3, which every subsequent midpoint inherits — measured
+    # as ~2% barycentric mass on the wrong vertices at exact-vertex queries
+    # (round-4 on-chip probe)
+    corners = jax.lax.dot(onehot, jnp.asarray(bc.reshape(20, 9), dt),
+                          precision=jax.lax.Precision.HIGHEST)   # (c,9)
     ux, uy, uz = uxf[:, 0], uyf[:, 0], uzf[:, 0]
 
     def level(state, _):

@@ -112,8 +112,11 @@ def ensure_validated() -> bool:
     pos_p = (ico.coords[ico.faces[fid_p]] * Wp[..., None]).sum(1)
     pos_x = (ico.coords[ico.faces[np.asarray(fid_x)]] * Wx[..., None]).sum(1)
 
+    # 2e-4 on the unit sphere: tight enough to catch MXU-precision-class
+    # drift (the round-4 probe caught the XLA path's bf16 corner matmul at
+    # 1.2e-3), loose enough for legitimate rsqrt rounding differences
     ok = (np.abs(Wp.sum(1) - 1.0).max() < 1e-4
-          and np.abs(pos_p - pos_x).max() < 1e-3
+          and np.abs(pos_p - pos_x).max() < 2e-4
           and np.abs(Wp.min()) >= -1e-4)
     # vertex queries: the face must be incident and carry the mass
     hit = ico.faces[fid_p[1024:]] == np.arange(512)[:, None]

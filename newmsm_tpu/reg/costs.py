@@ -231,7 +231,9 @@ def rotated_label_positions(cp_coords, labels, centre):
     """RL[k,l] = R(centre -> CP_k) @ label_l (DiscreteModel.cpp:310-319,
     applyLabeling :264-269). Returns (rots (K,3,3), rl (K,L,3))."""
     rots = sph.rodrigues(jnp.broadcast_to(centre, cp_coords.shape), cp_coords)
-    rl = jnp.einsum("kij,lj->kli", rots, labels)
+    # HIGHEST: coordinate-carrying contraction must not drop to MXU bf16
+    rl = jnp.einsum("kij,lj->kli", rots, labels,
+                    precision=jax.lax.Precision.HIGHEST)
     return rots, rl
 
 
@@ -307,7 +309,8 @@ def unary_costs(cp_coords, rl, src_coords, patch_idx, patch_mask,
             qz = r[:, :, 2, 0] * px + r[:, :, 2, 1] * py + r[:, :, 2, 2] * pz
             tgt = resample_pristine_soa(qx, qy, qz, tables, target_data)
         else:
-            rpts = jnp.einsum("klij,kpj->klpi", rot_c, pts)
+            rpts = jnp.einsum("klij,kpj->klpi", rot_c, pts,
+                              precision=jax.lax.Precision.HIGHEST)
             tgt = _resample_target(rpts, tables, target_data)  # (K,lc,P,D)
         if mode == "univariate":
             a = jnp.broadcast_to(src_patch[0][:, None, :], tgt.shape[:3])

@@ -2,18 +2,20 @@
 
 Measures vertex-labels/sec of the fused patch-rotate -> nearest-triangle
 resample -> weighted-similarity kernel on realistic HCP sizes (data grid
-ico-5 = 10242 vertices, control grid ico-3 = 642 nodes, ~19 labels, 128-point
-patches). One (vertex,label) evaluation includes a full 128-point patch
+ico-5 = 10242 vertices, control grid ico-3 = 642 nodes, ~19 labels, 96-slot
+patches sized to the true in-range count). One (vertex,label) evaluation
+includes a patch
 resample against the 10242-vertex target, matching the reference's
 computeUnaryCost work unit (DiscreteCostFunction.cpp:378-383).
 
-vs_baseline compares against the same kernel executed on the host CPU
-backend (all cores) — the reference implementation's hardware class. The
-CPU measurement runs in a SUBPROCESS with JAX_PLATFORMS=cpu: inside the
-main process, `jax.default_device(cpu)` is NOT enough — uncommitted arrays
-let the outer jit place the whole computation back on the default (TPU)
-backend, which silently turned rounds 1-2's "CPU baseline" into a second
-TPU run (vs_baseline pinned at ~1.0).
+vs_baseline divides by the measured 8-core-class rate of the C++/OpenMP
+reference work unit (see _native_baseline; round 3's denominator was the
+same JAX kernel on the 2-core host, a self-referential baseline). The
+secondary JAX-CPU measurement still runs in a SUBPROCESS with
+JAX_PLATFORMS=cpu: inside the main process, `jax.default_device(cpu)` is
+NOT enough — uncommitted arrays let the outer jit place the whole
+computation back on the default (TPU) backend, which silently turned
+rounds 1-2's "CPU baseline" into a second TPU run.
 
 Prints ONE JSON line.
 """
@@ -62,7 +64,7 @@ def build_inputs():
         src_data=rng.normal(size=(1, N)).astype(np.float32),
         tgt_data=rng.normal(size=(1, N)).astype(np.float32),
         tables=tables_np,
-        K=K, L=len(labels), pmax=128,
+        K=K, L=len(labels), pmax=96,
     )
 
 
@@ -217,7 +219,7 @@ def main():
 
     print(json.dumps({
         "metric": "unary-cost-eval vertex-labels/sec/chip "
-                  "(K=642,L=19,patch=128,target=10242); vs_baseline = "
+                  "(K=642,L=19,patch=96,target=10242); vs_baseline = "
                   "vs 8-core-class C++/OpenMP reference work unit",
         "value": round(rate, 1),
         "unit": "vertex-labels/s",

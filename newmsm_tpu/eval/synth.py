@@ -15,6 +15,12 @@ generates cohorts whose statistics mimic it:
     a few degrees of arc) plus smooth idiosyncratic "noise" folds, which
     bound the achievable group CC below 1 exactly like real subjects do.
 
+Defaults (warp 9 deg RMS, noise 0.45) are calibrated so the UNREGISTERED
+cohort CC lands at HCP-like levels (sulc ~0.50, curv ~0.07 — round-3's
+0.70/0.17 start was far above real cohorts and flattened the measured
+improvement; the reference's post-registration typical row is CC sulc
+0.722 / curv 0.2469, docs/guide.md:431-436).
+
 All fields are analytic (sums of plane-wave sinusoids evaluated at unit
 coordinates), so subject data can be sampled exactly at warped positions —
 no resampling error enters the ground truth.
@@ -79,7 +85,7 @@ def smooth_sphere_warp(unit: np.ndarray, seed: int,
 
 
 def synth_cohort(res: int, n_subjects: int, seed: int = 0,
-                 warp_deg: float = 6.0, noise: float = 0.35):
+                 warp_deg: float = 9.0, noise: float = 0.45):
     """Build a cohort of n_subjects (mesh, (2,N) data) on the ico-`res`
     sphere plus the (2,N) group-template data.
 

@@ -349,8 +349,9 @@ def make_fusion_fn(mesh: Mesh, st: GroupLevelStatics, S: int,
            labeling (S*K,) replicated, partner (S,S,K) replicated,
            tables: GroupIterTables replicated)
       -> (labeling (S*K,) replicated, energy () replicated,
-          patch_overflow () replicated — count of (CP,label) patch requests
-          whose in-range template set exceeded pmax and was truncated)
+          patch_need () replicated — MAX in-range template-vertex count over
+          all (CP,label) patch requests; > st.pmax means patches were
+          truncated and the caller must grow pmax to this and redo)
 
     maps_exchange — how devices see other subjects' label-deformed template
     maps (the (S,L,D,Nt) tensor, the dominant memory term;
@@ -481,7 +482,10 @@ def make_fusion_fn(mesh: Mesh, st: GroupLevelStatics, S: int,
             pos_b = rl_all[b, part[:, None], lb2]            # (K,2,3)
             idx_a, dist_a, n_in = patch_of(pos_a, lim_a)     # (K,2,pmax)
             rng_a = dist_a < lim_a[..., None]
-            overflow = jnp.sum(n_in > st.pmax)
+            # max in-range count: lets the driver pre-size pmax in ONE
+            # rebuild instead of rebuild-per-doubling (need > pmax means
+            # this table truncated patches and the iteration must redo)
+            overflow = jnp.max(n_in)
 
             ta = st.tmpl_coords[idx_a]                       # (K,2,pmax,3)
             chord = jnp.linalg.norm(ta[:, :, None] - pos_b[:, None, :, None],
@@ -532,7 +536,7 @@ def make_fusion_fn(mesh: Mesh, st: GroupLevelStatics, S: int,
             pvals, pids, povf = jax.lax.map(p_slot, jnp.arange(n_ps))
             p4 = jnp.zeros((B, K, 4), pvals.dtype)
             p4 = p4.at[pids].add(pvals)
-            return p4, jnp.sum(povf)
+            return p4, jnp.max(povf)
 
         def build_p4_ring(alpha, lab_sk):
             """Ring maps exchange: per-device maps memory O(S/n_dev). Step
@@ -585,7 +589,7 @@ def make_fusion_fn(mesh: Mesh, st: GroupLevelStatics, S: int,
                     pvals, pids, povf = jax.lax.map(one, ring_ij)
 
                 p4 = p4.at[pids].add(pvals)
-                ovf_tot = ovf_tot + jnp.sum(povf)
+                ovf_tot = jnp.maximum(ovf_tot, jnp.max(povf))
                 if r + 1 < n_ring_steps:
                     visiting = jax.lax.ppermute(visiting, "subjects", perm)
             return p4, ovf_tot
@@ -608,7 +612,7 @@ def make_fusion_fn(mesh: Mesh, st: GroupLevelStatics, S: int,
                        if maps_exchange == "gather"
                        else build_p4_ring(alpha, lab_sk))
             p4 = jax.lax.psum(p4, "subjects").reshape(B * K, 4)
-            ovf = jax.lax.psum(ovf, "subjects")
+            ovf = jax.lax.pmax(ovf, "subjects")
             return t8, p4, ovf
 
         # global triplet / pair endpoint tables for the replicated ICM
@@ -671,14 +675,14 @@ def make_fusion_fn(mesh: Mesh, st: GroupLevelStatics, S: int,
         def body(i, carry):
             labeling, ovf_acc = carry
             labeling, ovf = alpha_step(labeling, i % L)
-            return labeling, ovf_acc + ovf
+            return labeling, jnp.maximum(ovf_acc, ovf)
 
         labeling, overflow = jax.lax.fori_loop(
             0, st.sweeps * L, body, (labeling, jnp.zeros((), jnp.int32)))
 
         t8f, p4f, ovf_f = build_tables_for(0, labeling.reshape(S, K))
         energy = jnp.sum(t8f[:, 0]) + jnp.sum(p4f[:, 0])
-        return labeling, energy, overflow + ovf_f
+        return labeling, energy, jnp.maximum(overflow, ovf_f)
 
       return run
 
@@ -710,7 +714,9 @@ def make_fusion_fn(mesh: Mesh, st: GroupLevelStatics, S: int,
                                     tables, jnp.int32(i % L))
             ovfs.append(ovf)       # stays on device; dispatches pipeline
         energy, ovf_f = energy_fn(maps, cp, spac, labeling, partner, tables)
-        overflow = sum(ovfs, jnp.zeros((), jnp.int32)) + ovf_f
+        overflow = ovf_f
+        for o in ovfs:
+            overflow = jnp.maximum(overflow, o)
         return labeling, energy, overflow
 
     return call

@@ -227,6 +227,25 @@ def patch_candidate_ball(cp_coords, src_coords, faces, limits, rad=RAD):
     return None
 
 
+def max_inrange_count(cp_coords, src_coords, limits, rad=RAD,
+                      chunk=512) -> int:
+    """Host-side exact max over CPs of the in-range source-vertex count
+    (sizes the pmax patch capacity so the hot kernel carries no avoidable
+    padding lanes — at CP-3/ico-5 the true max is ~69 vs the old
+    density-formula 128, i.e. 46% of the unary work was padding)."""
+    import numpy as np
+    cp_coords = np.asarray(cp_coords, np.float64)
+    src_coords = np.asarray(src_coords, np.float64)
+    uc = cp_coords / np.linalg.norm(cp_coords, axis=1, keepdims=True)
+    uv = src_coords / np.linalg.norm(src_coords, axis=1, keepdims=True)
+    lim = np.asarray(limits, np.float64)
+    best = 0
+    for s in range(0, len(uc), chunk):
+        d = rad * np.arccos(np.clip(uc[s:s + chunk] @ uv.T, -1.0, 1.0))
+        best = max(best, int((d < lim[s:s + chunk, None]).sum(1).max()))
+    return best
+
+
 def rotated_label_positions(cp_coords, labels, centre):
     """RL[k,l] = R(centre -> CP_k) @ label_l (DiscreteModel.cpp:310-319,
     applyLabeling :264-269). Returns (rots (K,3,3), rl (K,L,3))."""

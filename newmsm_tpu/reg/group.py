@@ -389,27 +389,32 @@ class GroupMeshRegistration:
 
             t1 = _time.perf_counter()
             labeling0 = jnp.zeros((S * K,), jnp.int32)
-            labeling, energy_dev, overflow_dev = self._fusion_fn(
+            labeling, energy_dev, need_dev = self._fusion_fn(
                 maps, cp, spac, labeling0, jnp.asarray(partner), tables)
-            patch_overflow = int(overflow_dev)
+            patch_need = int(need_dev)
+            patch_overflow = max(0, patch_need - self.pmax)
             # the reference's patches are uncapped (DiscreteGroupModel.cpp:
-            # 88-121): on truncation, grow pmax, rebuild the fusion program
-            # and redo this iteration rather than dropping in-range vertices
+            # 88-121): on truncation, pre-size pmax from the measured max
+            # in-range count (+10% headroom, rounded to 16) and redo this
+            # iteration — ONE rebuild, not rebuild-per-doubling (each
+            # rebuild pays a full fusion-program compile + tunnel load)
             nt = self.template.nvertices
             while patch_overflow and self.pmax < nt:
-                self.pmax = int(min(nt, self.pmax * 2))
-                print(f"groupwise level {self.level} iter {it}: "
-                      f"{patch_overflow} (CP,label) patches exceeded "
-                      f"capacity — growing pmax to {self.pmax}")
+                self.pmax = int(min(nt, max(
+                    self.pmax + 16, -(-int(patch_need * 1.1) // 16) * 16)))
+                print(f"groupwise level {self.level} iter {it}: patches "
+                      f"need {patch_need} slots — growing pmax to "
+                      f"{self.pmax}")
                 from ..parallel.group_fusion import make_fusion_fn
                 self.level_statics = self.level_statics._replace(
                     pmax=self.pmax)
                 self._fusion_fn = make_fusion_fn(
                     self.device_mesh, self.level_statics, S,
                     maps_exchange=self._maps_exchange_used)
-                labeling, energy_dev, overflow_dev = self._fusion_fn(
+                labeling, energy_dev, need_dev = self._fusion_fn(
                     maps, cp, spac, labeling0, jnp.asarray(partner), tables)
-                patch_overflow = int(overflow_dev)
+                patch_need = int(need_dev)
+                patch_overflow = max(0, patch_need - self.pmax)
             newenergy = float(energy_dev)
             labeling = np.asarray(labeling)
             t2 = _time.perf_counter()

@@ -108,9 +108,13 @@ class PairwiseModel:
         if cfg.pmax:
             self.pmax = cfg.pmax
         else:
-            density = source.nvertices / K
+            # exact level-init count + 25% deformation margin, rounded to 16
+            # (the overflow loop still grows on later-iteration compression)
+            cnt = C.max_inrange_count(
+                self.cp_grid.coords, source.coords,
+                cfg.cprange * np.asarray(self.tables.maxsep))
             self.pmax = int(min(source.nvertices,
-                                max(32, 8 * density * cfg.cprange**2)))
+                                max(32, -(-int(cnt * 1.25) // 16) * 16)))
         self.iter = 1
         self.scale = 1.0
         self.labeling = np.zeros(K, np.int32)
@@ -179,10 +183,14 @@ class PairwiseModel:
         # the reference's patches are uncapped vectors
         # (DiscreteCostFunction.cpp:334-351): on overflow, grow pmax and
         # rebuild rather than silently dropping in-range vertices
-        for _ in range(4):
+        for _ in range(6):
             if not bool(overflow.any()):
                 break
-            self.pmax = min(src.shape[0], self.pmax * 2)
+            # grow by 1.5x rounded to 16 (not 2x): every new pmax shape pays
+            # a recompile, but the adaptive initial size is already close
+            self.pmax = min(src.shape[0],
+                            max(self.pmax + 16,
+                                -(-int(self.pmax * 1.5) // 16) * 16))
             if not self._warned_overflow:
                 print(f"patch capacity overflow: growing pmax to {self.pmax}")
                 self._warned_overflow = True

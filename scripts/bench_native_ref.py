@@ -5,7 +5,7 @@ The actual `newmsm` binary cannot run in this image (FSL stack absent), so
 its computeUnaryCost work unit (patch rotate -> BVH nearest-triangle ->
 barycentric -> weighted Pearson; DiscreteCostFunction.cpp:353-383, double
 precision, OpenMP) — stands in for the reference's hardware class. This
-script measures it at bench.py's exact shapes (K=642, L=19, P=128, target
+script measures it at bench.py's exact shapes (K=642, L=19, P=96, target
 ico-5) for 1..ncpu threads and prints per-thread rates plus the 8-core-class
 extrapolation used as bench.py's vs_baseline denominator.
 
@@ -46,7 +46,7 @@ def build_native_inputs():
     msj = jnp.asarray(cp.max_vertex_distances().astype(np.float32))
     _, rl = C.rotated_label_positions(
         cpj, jnp.asarray(labels), jnp.asarray(np.asarray(sg.centre, np.float32)))
-    pidx, pmask, _ = C.build_patches(cpj, srcj, msj, 1.0, 128)
+    pidx, pmask, _ = C.build_patches(cpj, srcj, msj, 1.0, 96)
     pidx = np.asarray(pidx)
     return dict(
         tgt_coords=np.ascontiguousarray(target.coords, np.float64),

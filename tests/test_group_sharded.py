@@ -154,11 +154,16 @@ class TestOptimiserShardInvariance:
         args = (jnp.asarray(maps), jnp.asarray(cp), jnp.asarray(spac), lab0,
                 jnp.asarray(partner), tables)
 
-        _, _, ovf_ok = make_fusion_fn(mesh, st, S)(*args)
+        _, _, need_ok = make_fusion_fn(mesh, st, S)(*args)
         st_tight = st._replace(pmax=2)      # patches are far bigger than 2
-        _, _, ovf_tight = make_fusion_fn(mesh, st_tight, S)(*args)
-        assert int(ovf_ok) == 0, int(ovf_ok)
-        assert int(ovf_tight) > 0
+        _, _, need_tight = make_fusion_fn(mesh, st_tight, S)(*args)
+        # the returned value is the MAX in-range need: within capacity on
+        # the sized run, above it on the tight run — and the tight run's
+        # reported need pre-sizes a single rebuild
+        assert int(need_ok) <= st.pmax, (int(need_ok), st.pmax)
+        # (exact value can differ between runs: truncated costs change the
+        # labeling trajectory and hence later patch positions)
+        assert int(need_tight) > 2
 
     def test_partner_matches_host_closest_vertex(self):
         """Device-side estimate_pairs == the host closest_vertex loop the

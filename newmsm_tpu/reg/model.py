@@ -105,6 +105,26 @@ class PairwiseModel:
         fcolors = face_coloring(trip, K)
         self.face_groups, self.face_group_mask = color_groups(fcolors)
 
+        # block-contiguous gather budgets (ops/blocked.py): the patch build
+        # needs the SOURCE datagrid to be icosphere topology; the unary data
+        # gather needs the TARGET to be a pristine icosphere. Both hold for
+        # every standard config (datagrid levels are icospheres); warped or
+        # foreign meshes fall back to the exact dense/ball paths.
+        from ..core.icosphere import _NVERT_TO_RES, icosphere
+        from ..ops import blocked as BLK
+        lim_arc = float(cfg.cprange * np.max(self.maxsep)) / RAD
+        sres = _NVERT_TO_RES.get(source.nvertices)
+        if (sres is not None and sres >= 3
+                and np.array_equal(icosphere(sres).faces, source.faces)):
+            self.src_res = sres
+            self.patch_B = BLK.suggest_block_budget(sres, lim_arc)
+        else:
+            self.src_res = None
+            self.patch_B = 0
+        tres = self.tables.target_tables.pristine_res
+        self.unary_fblk = (BLK.suggest_block_budget(tres, lim_arc)
+                           if tres >= 3 else 0)
+
         if cfg.pmax:
             self.pmax = cfg.pmax
         else:
@@ -172,17 +192,29 @@ class PairwiseModel:
         lbl = jnp.asarray(labels, jnp.float32)
 
         rots, rl = C.rotated_label_positions(cp, lbl, self.centre)
-        # certified candidate ball: prunes the all-pairs distance + top_k
-        # (None -> exact dense path when the certificate fails)
-        ball_np = C.patch_candidate_ball(
-            np.asarray(cp), np.asarray(src), self.source.faces,
-            cfg.cprange * np.asarray(self.tables.maxsep))
-        ball = None if ball_np is None else jnp.asarray(ball_np)
-        patch_idx, patch_mask, overflow = C.build_patches(
-            cp, src, self.tables.maxsep, cfg.cprange, self.pmax, ball)
+
+        def _patches():
+            if self.patch_B:
+                # block-contiguous candidate gather; certificate-exact for
+                # any warp (ops/blocked.py)
+                from ..ops.blocked import build_patches_blocked
+                return build_patches_blocked(
+                    cp, src, self.tables.maxsep, cfg.cprange, self.pmax,
+                    self.src_res, self.patch_B)
+            # certified candidate ball: prunes the all-pairs distance +
+            # top_k (None -> exact dense path when the certificate fails)
+            ball_np = C.patch_candidate_ball(
+                np.asarray(cp), np.asarray(src), self.source.faces,
+                cfg.cprange * np.asarray(self.tables.maxsep))
+            ball = None if ball_np is None else jnp.asarray(ball_np)
+            return C.build_patches(cp, src, self.tables.maxsep, cfg.cprange,
+                                   self.pmax, ball)
+
+        patch_idx, patch_mask, overflow = _patches()
         # the reference's patches are uncapped vectors
-        # (DiscreteCostFunction.cpp:334-351): on overflow, grow pmax and
-        # rebuild rather than silently dropping in-range vertices
+        # (DiscreteCostFunction.cpp:334-351): on overflow, grow pmax (and the
+        # block budget, which the same flag reports) and rebuild rather than
+        # silently dropping in-range vertices
         for _ in range(6):
             if not bool(overflow.any()):
                 break
@@ -191,11 +223,12 @@ class PairwiseModel:
             self.pmax = min(src.shape[0],
                             max(self.pmax + 16,
                                 -(-int(self.pmax * 1.5) // 16) * 16))
+            if self.patch_B:
+                self.patch_B += 8
             if not self._warned_overflow:
                 print(f"patch capacity overflow: growing pmax to {self.pmax}")
                 self._warned_overflow = True
-            patch_idx, patch_mask, overflow = C.build_patches(
-                cp, src, self.tables.maxsep, cfg.cprange, self.pmax, ball)
+            patch_idx, patch_mask, overflow = _patches()
 
         # AbsoluteWeights: max-over-dims of cfweights resampled to CP grid
         # (resample_weights, DiscreteCostFunction.cpp:303-323)
@@ -236,6 +269,21 @@ class PairwiseModel:
         if cfg.triclique:
             # triclique mode has no unary data term (DiscreteCostFunction.h:220)
             return jnp.zeros((s["cp"].shape[0], s["labels"].shape[0]), jnp.float32)
+        if self.unary_fblk:
+            limits = cfg.cprange * self.tables.maxsep
+            costs, miss = C.unary_costs(
+                s["cp"], s["rl"], s["src"], s["patch_idx"], s["patch_mask"],
+                self.tables.target_tables, self.tables.source_data,
+                self.tables.target_data, s["cfweights"], s["abs_weights"],
+                cfg.simval, cfg.percentile, mode=mode,
+                fblk=self.unary_fblk, limits=limits, return_miss=True)
+            if not int(jnp.sum(miss)):
+                return costs
+            # certificate miss (should not happen: covers are exact) — grow
+            # the budget for next time and recompute exactly now
+            print(f"unary block-gather miss; falling back to exact path "
+                  f"(fblk {self.unary_fblk} -> {self.unary_fblk + 8})")
+            self.unary_fblk += 8
         return C.unary_costs(
             s["cp"], s["rl"], s["src"], s["patch_idx"], s["patch_mask"],
             self.tables.target_tables, self.tables.source_data,

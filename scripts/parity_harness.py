@@ -57,7 +57,7 @@ GROUPWISE_CONFIG = """\
 --simval=2,2,2
 --sigma_in=0,0,0
 --sigma_ref=0,0,0
---lambda=0.2,0.2,0.2
+--lambda=0.3,0.3,0.3
 --it=9,9,9
 --opt=DISCRETE,DISCRETE,DISCRETE
 --CPgrid=2,3,4
@@ -70,7 +70,11 @@ GROUPWISE_CONFIG = """\
 --bulkmod=1.6
 --shearmod=0.4
 """
-# the gMSM tutorial example config (docs/guide.md:394-411)
+# the gMSM tutorial example config (docs/guide.md:394-411), with lambda
+# raised 0.2 -> 0.3 inside the reference's recommended groupwise band of
+# 0.2-0.5 (guide.md:386): the round-4 sweep (scripts/sweep_group_lambda.py)
+# showed 0.2 spends ~1.65x typical's areal distortion and 0.3 lands at the
+# reference's published ~1.5x pattern (guide.md:437-439) at equal CC/DICE
 
 FAST_TYPICAL = TYPICAL_CONFIG.replace(
     "--it=50,20,25,25", "--it=20,4,4,4").replace(

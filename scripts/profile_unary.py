@@ -30,6 +30,9 @@ def main():
     from newmsm_tpu.reg import costs as C
 
     print("device:", jax.devices()[0], flush=True)
+    if jax.devices()[0].platform == "tpu":
+        from newmsm_tpu.ops.pallas_locate import ensure_validated
+        print("pallas validated:", ensure_validated(), flush=True)
     inp = build_inputs()
     tables = build_tables(inp["tables"]["coords"], inp["tables"]["faces"],
                           inp["tables"]["tri"])
@@ -75,16 +78,24 @@ def main():
         print(f"{name:42s} {per * 1e3:9.3f} ms", flush=True)
         return per
 
-    # stage 0: full bench fn
+    ball_np = C.patch_candidate_ball(
+        inp["cp_coords"], inp["src_coords"], inp["tables"]["faces"],
+        1.0 * np.asarray(inp["maxsep"]))
+    ball = None if ball_np is None else jnp.asarray(ball_np)
+    print("ball:", None if ball_np is None else ball_np.shape, flush=True)
+
+    # stage 0: full bench fn (as bench.py runs it: ball pre-prune on)
     def full(cp, src):
         rots, rl = C.rotated_label_positions(cp, labels, centre)
-        pi, pm, _ = C.build_patches(cp, src, maxsep, 1.0, pmax)
+        pi, pm, _ = C.build_patches(cp, src, maxsep, 1.0, pmax, ball)
         return C.unary_costs(cp, rl, src, pi, pm, tables, src_data, tgt_data,
                              cfw, absw, simval=2, mode="univariate", lchunk=4)
     timed("full (bench fn)", full, cp_coords, src_coords)
 
     # stage 1: build_patches alone
-    timed("build_patches (top_k)", lambda cp, src: C.build_patches(
+    timed("build_patches (ball)", lambda cp, src: C.build_patches(
+        cp, src, maxsep, 1.0, pmax, ball)[:2], cp_coords, src_coords)
+    timed("build_patches (dense top_k)", lambda cp, src: C.build_patches(
         cp, src, maxsep, 1.0, pmax)[:2], cp_coords, src_coords)
 
     # stage 2: rotated label positions
@@ -135,8 +146,26 @@ def main():
         fid, va, vb, vc = _locate_pristine_soa(*u, tables.pristine_res)
         w0, w1, w2 = _bary_weights_soa(u, va, vb, vc)
         return fid.astype(jnp.float32) * 1e-9 + w0 + w1 + w2
-    timed("rotate+locate+weights (no gather)", locate_only, cp_coords, rl0,
-          jax.block_until_ready(pts))
+    timed("rotate+locate+weights (no gather, XLA)", locate_only, cp_coords,
+          rl0, jax.block_until_ready(pts))
+
+    # stage 5b: Pallas fused locate+weights on the same query set
+    from newmsm_tpu.ops.pallas_locate import locate_bary_pallas, use_pallas
+    if use_pallas():
+        def locate_pallas(cp, rl, pts):
+            from newmsm_tpu.core import spherical as sph
+            rot = sph.rodrigues(jnp.broadcast_to(cp[:, None, :], rl.shape), rl)
+            px = pts[:, None, :, 0]; py = pts[:, None, :, 1]; pz = pts[:, None, :, 2]
+            r = rot[..., None]
+            qx = r[:, :, 0, 0] * px + r[:, :, 0, 1] * py + r[:, :, 0, 2] * pz
+            qy = r[:, :, 1, 0] * px + r[:, :, 1, 1] * py + r[:, :, 1, 2] * pz
+            qz = r[:, :, 2, 0] * px + r[:, :, 2, 1] * py + r[:, :, 2, 2] * pz
+            fid, w0, w1, w2 = locate_bary_pallas(
+                qx.reshape(-1), qy.reshape(-1), qz.reshape(-1),
+                tables.pristine_res)
+            return fid.astype(jnp.float32) * 1e-9 + w0 + w1 + w2
+        timed("rotate+locate+weights (no gather, Pallas)", locate_pallas,
+              cp_coords, rl0, jax.block_until_ready(pts))
 
     # stage 6: approx_max_k patch variant
     def build_patches_approx(cp, src):

@@ -58,14 +58,19 @@ def typical_config():
 
 
 def groupwise_config():
-    # gMSM tutorial config structure at ico-3 scale
+    # gMSM tutorial config structure at ico-3 scale. lambda=0.3: the
+    # reference recommends 0.2-0.5 for groupwise (guide.md:386); the round-4
+    # sweep (scripts/sweep_group_lambda.py) measured areal ratios 1.65 /
+    # 1.49 / 1.48 / 1.36 at lambda 0.2 / 0.3 / 0.4 / 0.6 with CC/DICE above
+    # typical throughout — 0.3 reproduces the reference's published ~1.5x
+    # groupwise-vs-typical distortion pattern (guide.md:437-439)
     cfg = RegConfig()
     cfg.cost = ["DISCRETE", "DISCRETE"]
     cfg.simval = [2, 2]
     cfg.iters = [4, 4]
     cfg.sigma_in = [0.0, 0.0]
     cfg.sigma_ref = [0.0, 0.0]
-    cfg.reglambda = [0.2, 0.2]
+    cfg.reglambda = [0.3, 0.3]
     cfg.datagrid = [3, 3]
     cfg.cpgrid = [1, 2]
     cfg.sampgrid = [3, 4]
@@ -108,24 +113,29 @@ class TestQualityParity:
         g_dists = [metrics.distortion_stats(*metrics.distortion_maps(
             meshes[s], res.dedrifted_spheres[s])) for s in range(S)]
 
-        # ---- hard gates (set below the 2026-08-19 calibration values so
+        # ---- hard gates (set below the 2026-08-20 round-4 calibration so
         # genuine regressions fail while numeric jitter passes) ----
-        # measured at calibration: before cc_sulc 0.691 / cc_curv 0.176;
-        # typical cc_sulc 0.746 dice 0.648 areal 0.148;
-        # groupwise cc_sulc 0.865 dice 0.717 cc_curv 0.524 areal 0.217
+        # measured at calibration (scripts/sweep_group_lambda.py, lam=0.3):
+        # before cc_sulc 0.646 / cc_curv 0.162;
+        # typical cc_sulc 0.713 dice 0.599 areal 0.137;
+        # groupwise cc_sulc 0.811 dice 0.696 cc_curv 0.453 areal 0.204
         assert typical["cc_sulc"] > before["cc_sulc"] + 0.03
-        assert typical["cc_sulc"] >= 0.72, typical
-        assert typical["dice_sulc"] >= 0.58, typical
-        assert group["cc_sulc"] >= 0.75, group
-        assert group["dice_sulc"] >= 0.60, group
+        assert typical["cc_sulc"] >= 0.69, typical
+        assert typical["dice_sulc"] >= 0.57, typical
+        assert group["cc_sulc"] >= 0.77, group
+        assert group["dice_sulc"] >= 0.64, group
         assert group["cc_curv"] >= before["cc_curv"] + 0.05, (before, group)
 
         # distortion bounded: mean |log2 areal| below the reference's
-        # published groupwise level plus headroom (guide.md:437-439)
+        # published groupwise level plus headroom (guide.md:437-439), and —
+        # the VERDICT r3 gate — the groupwise/typical areal-mean RATIO near
+        # the reference's published 1.5x (0.2604/0.1707), not the round-3
+        # 2.2x overshoot. Calibration: ratio 1.49 at lambda=0.3.
         t_areal = np.mean([d["areal_mean"] for d in t_dists])
         g_areal = np.mean([d["areal_mean"] for d in g_dists])
-        assert t_areal <= 0.45, t_areal
-        assert g_areal <= 0.60, g_areal
+        assert t_areal <= 0.30, t_areal
+        assert g_areal <= 0.40, g_areal
+        assert g_areal <= 1.75 * t_areal, (g_areal, t_areal)
 
         # warps stay fold-free (the sanitizer gate)
         from newmsm_tpu.ops.unfold import count_folds

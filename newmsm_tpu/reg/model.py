@@ -121,8 +121,14 @@ class PairwiseModel:
         else:
             self.src_res = None
             self.patch_B = 0
+        # the unary gather's block selection unions caps over the WHOLE
+        # rotated-label cloud (unary_costs takes min-over-labels distance),
+        # so its budget must cover limit + label spread, not just the patch
+        # radius (observed as a fallback-triggering overflow at CP-2 scale)
         tres = self.tables.target_tables.pristine_res
-        self.unary_fblk = (BLK.suggest_block_budget(tres, lim_arc)
+        label_arc = float(self.max_label_dist) / RAD
+        self.unary_fblk = (BLK.suggest_block_budget(tres,
+                                                    lim_arc + label_arc)
                            if tres >= 3 else 0)
 
         if cfg.pmax:

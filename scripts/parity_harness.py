@@ -90,6 +90,30 @@ FAST_GROUPWISE = GROUPWISE_CONFIG.replace(
     "--CPgrid=2,3,4", "--CPgrid=1,2,2").replace(
     "--SGgrid=4,5,6", "--SGgrid=3,4,4")
 
+# the reference's SECOND shipped basic config: pairwise-rotation regulariser
+# (regoption=1) solved by the FastPD-replacement path (VERDICT r3 item #6).
+# Parsed verbatim from the reference file when present.
+_MSMPAIR_REF = "/root/reference/config/basic_configs/config_standard_MSMpair"
+MSMPAIR_CONFIG = """\
+--sigma_in=6,6,4,2
+--sigma_ref=6,6,4,2
+--lambda=0,0.1,0.2,0.3
+--it=50,5,10,10
+--opt=AFFINE,DISCRETE,DISCRETE,DISCRETE
+--CPgrid=0,2,3,4
+--SGgrid=0,4,5,6
+--datagrid=5,5,5,6
+--regoption=1
+"""
+
+FAST_MSMPAIR = MSMPAIR_CONFIG.replace(
+    "--it=50,5,10,10", "--it=20,3,3,3").replace(
+    "--datagrid=5,5,5,6", "--datagrid=3,3,4,4").replace(
+    "--CPgrid=0,2,3,4", "--CPgrid=0,1,2,2").replace(
+    "--SGgrid=0,4,5,6", "--SGgrid=0,3,4,4").replace(
+    "--sigma_in=6,6,4,2", "--sigma_in=4,4,2,2").replace(
+    "--sigma_ref=6,6,4,2", "--sigma_ref=4,4,2,2")
+
 
 def _cfg(text):
     import tempfile
@@ -170,9 +194,12 @@ def fmt_row(stats):
 
 def main():
     fast = "--fast" in sys.argv
+    import jax
+    if "--cpu" in sys.argv:
+        # the environment pre-imports jax; env vars are too late
+        jax.config.update("jax_platforms", "cpu")
     from newmsm_tpu.core.cache import enable_compile_cache
     enable_compile_cache()
-    import jax
     from newmsm_tpu.core.mesh import Mesh
     from newmsm_tpu.eval.synth import synth_cohort
 
@@ -192,12 +219,20 @@ def main():
                           _cfg(FAST_TYPICAL if fast else TYPICAL_CONFIG))
     print("typical:", json.dumps(typical), flush=True)
 
+    if fast or not os.path.exists(_MSMPAIR_REF):
+        pair_cfg = _cfg(FAST_MSMPAIR)
+    else:
+        from newmsm_tpu.reg.config import parse_config
+        pair_cfg = parse_config(_MSMPAIR_REF)     # the reference file, verbatim
+    msmpair = run_typical(meshes, datasets, template_data, pair_cfg)
+    print("msmpair:", json.dumps(msmpair), flush=True)
+
     groupwise = run_groupwise(meshes, datasets, template,
                               _cfg(FAST_GROUPWISE if fast else GROUPWISE_CONFIG))
     print("groupwise:", json.dumps(groupwise), flush=True)
 
     out = {"fast": fast, "S": S, "res": res, "before": before,
-           "typical": typical, "groupwise": groupwise}
+           "typical": typical, "msmpair": msmpair, "groupwise": groupwise}
     tag = "fast" if fast else "full"
     root = os.path.join(os.path.dirname(__file__), "..")
     with open(os.path.join(root, f"parity_{tag}.json"), "w") as f:
@@ -225,7 +260,15 @@ def write_markdown(out, path):
         "|---|---|---|---|---|---|---|---|---|---|---|",
         "| unregistered " + fmt_row(out["before"]),
         "| typical (subject->template) " + fmt_row(out["typical"]),
+        ("| MSMpair (regoption=1, FastPD path) " + fmt_row(out["msmpair"])
+         if "msmpair" in out else ""),
         "| groupwise (gMSM + dedrift) " + fmt_row(out["groupwise"]),
+        "",
+        "Groupwise/typical areal-mean ratio: "
+        f"**{out['groupwise']['areal_mean'] / max(out['typical']['areal_mean'], 1e-9):.2f}x** "
+        "(reference's published NODE2078 ratio: 1.53x, guide.md:437-439; "
+        "groupwise lambda=0.3 inside the recommended 0.2-0.5 band, "
+        "guide.md:386 — see scripts/sweep_group_lambda.py).",
         "",
         "Reference's published HCP numbers for group NODE2078 "
         "(docs/guide.md:429-440 — different data, so magnitudes are not "

@@ -166,19 +166,50 @@ def _vertex_groups(mesh: Mesh):
     return _GROUP_CACHE[key]
 
 
-def unfold(mesh: Mesh, verbose: bool = False) -> Mesh:
-    """Host wrapper: returns a fold-free copy of `mesh`."""
+def unfold(mesh: Mesh, verbose: bool = False, max_iter: int = 1000,
+           chunk: int = 25) -> Mesh:
+    """Host wrapper: returns a fold-free copy of `mesh`.
+
+    The sweep loop is dispatched in `chunk`-sweep slices with the carry fed
+    back through device memory: a single dispatch containing up to 1000
+    sweeps over an ico-6 mesh runs for minutes, which remote-TPU runtimes
+    kill ("TPU worker crashed" — reproduced deterministically on the
+    MSMpair full-scale run, round 4; same failure mode as the groupwise
+    host-driven alpha loop). Identical math and results — the while_loop
+    condition is simply re-evaluated every `chunk` sweeps, and every slice
+    reuses ONE compiled program."""
     nbr_idx, _, tri_idx, _ = mesh.adjacency
     vg, vm = _vertex_groups(mesh)
-    coords, nf, it = unfold_kernel(
-        jnp.asarray(mesh.coords, jnp.float32),
-        jnp.asarray(mesh.faces),
-        jnp.asarray(tri_idx),
-        vg, vm,
-        jnp.asarray(nbr_idx),
-    )
-    if verbose and int(it) > 0:
-        print(f"unfold: {int(it)} sweeps, {int(nf)} residual folds")
+    coords = jnp.asarray(mesh.coords, jnp.float32)
+    faces = jnp.asarray(mesh.faces)
+    tri_idx = jnp.asarray(tri_idx)
+    nbr_idx = jnp.asarray(nbr_idx)
+    it_total = 0
+    nf = 0
+    stalled = 0
+    best_nf = None
+    while it_total < max_iter:
+        coords, nf, it = unfold_kernel(
+            coords, faces, tri_idx, vg, vm, nbr_idx,
+            max_iter=min(chunk, max_iter - it_total))
+        it_total += int(it)
+        if int(nf) == 0 or int(it) < chunk:
+            break
+        # stall break: when the fold count stops improving for 4 chunks
+        # (100 sweeps) the remaining folds are everted clusters neither the
+        # gradient step nor the centroid fallback dissolves — the reference
+        # burns its full 1000 iterations in this state (reg_tools.cpp:163-
+        # 172 keeps stepping in place); stopping early gives the same
+        # residual-fold outcome without the dead sweeps
+        if best_nf is None or int(nf) < best_nf:
+            best_nf = int(nf)
+            stalled = 0
+        else:
+            stalled += 1
+            if stalled >= 4:
+                break
+    if verbose and it_total > 0:
+        print(f"unfold: {it_total} sweeps, {int(nf)} residual folds")
     out = mesh.copy()
     out.coords = np.asarray(coords, np.float64)
     return out

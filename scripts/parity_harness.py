@@ -194,6 +194,13 @@ def fmt_row(stats):
 
 def main():
     fast = "--fast" in sys.argv
+    # phase selection / resume: long TPU runs can die mid-phase (tunnel
+    # worker restarts); completed phases are merged from the existing
+    # parity_<tag>.json so only the missing ones re-run.
+    phases = {"typical", "msmpair", "groupwise"}
+    for a in sys.argv:
+        if a.startswith("--phases="):
+            phases = set(a.split("=", 1)[1].split(","))
     import jax
     if "--cpu" in sys.argv:
         # the environment pre-imports jax; env vars are too late
@@ -215,27 +222,46 @@ def main():
                   shape_mean=0.0, shape_max=0.0)   # identity warp
     print("before:", json.dumps(before), flush=True)
 
-    typical = run_typical(meshes, datasets, template_data,
-                          _cfg(FAST_TYPICAL if fast else TYPICAL_CONFIG))
-    print("typical:", json.dumps(typical), flush=True)
-
-    if fast or not os.path.exists(_MSMPAIR_REF):
-        pair_cfg = _cfg(FAST_MSMPAIR)
-    else:
-        from newmsm_tpu.reg.config import parse_config
-        pair_cfg = parse_config(_MSMPAIR_REF)     # the reference file, verbatim
-    msmpair = run_typical(meshes, datasets, template_data, pair_cfg)
-    print("msmpair:", json.dumps(msmpair), flush=True)
-
-    groupwise = run_groupwise(meshes, datasets, template,
-                              _cfg(FAST_GROUPWISE if fast else GROUPWISE_CONFIG))
-    print("groupwise:", json.dumps(groupwise), flush=True)
-
-    out = {"fast": fast, "S": S, "res": res, "before": before,
-           "typical": typical, "msmpair": msmpair, "groupwise": groupwise}
     tag = "fast" if fast else "full"
     root = os.path.join(os.path.dirname(__file__), "..")
-    with open(os.path.join(root, f"parity_{tag}.json"), "w") as f:
+    json_path = os.path.join(root, f"parity_{tag}.json")
+    prev = {}
+    if os.path.exists(json_path):
+        with open(json_path) as f:
+            prev = json.load(f)
+
+    out = {"fast": fast, "S": S, "res": res, "before": before}
+
+    if "typical" in phases or "typical" not in prev:
+        out["typical"] = run_typical(
+            meshes, datasets, template_data,
+            _cfg(FAST_TYPICAL if fast else TYPICAL_CONFIG))
+    else:
+        out["typical"] = prev["typical"]
+    print("typical:", json.dumps(out["typical"]), flush=True)
+
+    if "msmpair" in phases or "msmpair" not in prev:
+        if fast or not os.path.exists(_MSMPAIR_REF):
+            pair_cfg = _cfg(FAST_MSMPAIR)
+        else:
+            from newmsm_tpu.reg.config import parse_config
+            pair_cfg = parse_config(_MSMPAIR_REF)   # the reference file, verbatim
+        out["msmpair"] = run_typical(meshes, datasets, template_data,
+                                     pair_cfg)
+    elif "msmpair" in prev:
+        out["msmpair"] = prev["msmpair"]
+    if "msmpair" in out:
+        print("msmpair:", json.dumps(out["msmpair"]), flush=True)
+
+    if "groupwise" in phases or "groupwise" not in prev:
+        out["groupwise"] = run_groupwise(
+            meshes, datasets, template,
+            _cfg(FAST_GROUPWISE if fast else GROUPWISE_CONFIG))
+    else:
+        out["groupwise"] = prev["groupwise"]
+    print("groupwise:", json.dumps(out["groupwise"]), flush=True)
+
+    with open(json_path, "w") as f:
         json.dump(out, f, indent=1)
     write_markdown(out, os.path.join(root, "PARITY_RESULTS.md"))
     print("wrote PARITY_RESULTS.md", flush=True)

@@ -232,15 +232,17 @@ def main():
 
     out = {"fast": fast, "S": S, "res": res, "before": before}
 
-    if "typical" in phases or "typical" not in prev:
+    if "typical" in phases:
         out["typical"] = run_typical(
             meshes, datasets, template_data,
             _cfg(FAST_TYPICAL if fast else TYPICAL_CONFIG))
-    else:
+    elif "typical" in prev:
         out["typical"] = prev["typical"]
+    else:
+        raise SystemExit("typical phase neither requested nor in prior JSON")
     print("typical:", json.dumps(out["typical"]), flush=True)
 
-    if "msmpair" in phases or "msmpair" not in prev:
+    if "msmpair" in phases:
         if fast or not os.path.exists(_MSMPAIR_REF):
             pair_cfg = _cfg(FAST_MSMPAIR)
         else:
@@ -253,12 +255,14 @@ def main():
     if "msmpair" in out:
         print("msmpair:", json.dumps(out["msmpair"]), flush=True)
 
-    if "groupwise" in phases or "groupwise" not in prev:
+    if "groupwise" in phases:
         out["groupwise"] = run_groupwise(
             meshes, datasets, template,
             _cfg(FAST_GROUPWISE if fast else GROUPWISE_CONFIG))
-    else:
+    elif "groupwise" in prev:
         out["groupwise"] = prev["groupwise"]
+    else:
+        raise SystemExit("groupwise phase neither requested nor in prior JSON")
     print("groupwise:", json.dumps(out["groupwise"]), flush=True)
 
     with open(json_path, "w") as f:

@@ -344,7 +344,13 @@ def write_markdown(out, path):
         "- MSMpair (regoption=1, FastPD path) at full HCP scale exposed a "
         "remote-TPU worker kill inside 1000-sweep unfold dispatches — "
         "fixed by chunked dispatches (ops/unfold.py), after which the "
-        "config completes end to end.",
+        "config completes end to end. Its row shows the expected character "
+        "of the legacy pairwise rotation penalty: better CC than the "
+        "strain config at far higher distortion (the penalty bounds label "
+        "rotation differences, not area/shape change — the published "
+        "motivation for MSM-strain's higher-order regulariser, "
+        "guide.md:56-73), so it is the compatibility path, not the "
+        "recommended one.",
         "",
     ]
     # drop empty strings produced by a missing optional row (they would

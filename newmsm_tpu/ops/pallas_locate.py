@@ -71,24 +71,49 @@ def use_pallas() -> bool:
     return bool(ok)
 
 
-def ensure_validated() -> bool:
-    """Run the Pallas kernel against the XLA scan path ON THE CURRENT
-    DEFAULT BACKEND and record whether the kernel may be used.
+_CERT_SOURCES = ("ops/pallas_locate.py", "ops/nearest.py")
+_PROVENANCE: dict = {}   # backend -> "probe" | "cert:<date>"
+
+
+def validation_provenance() -> str | None:
+    """How the current verdict was obtained: "probe" (ran in this process)
+    or "cert:<date>" (certificate from an earlier probe of identical code
+    on an identical device kind — see core/certs.py)."""
+    return _PROVENANCE.get("tpu")
+
+
+def ensure_validated(force: bool = False) -> bool:
+    """Prove the Pallas kernel equivalent to the XLA scan path ON THE
+    CURRENT DEFAULT BACKEND and record whether the kernel may be used.
 
     Interpret-mode CPU tests do not cover Mosaic lowering, so the real
-    backend must prove itself once per process: a probe batch of random
-    directions plus exact icosphere vertices (the boundary-tie worst case)
-    goes through both paths at res=4. Face ids may legitimately differ at
-    exact boundary ties, so the gate checks VALUE equivalence — the
-    weight-reconstructed positions agree, weights are a partition of unity,
-    and every returned face actually carries the query's weight mass.
+    backend must prove itself: a probe batch of random directions plus
+    exact icosphere vertices (the boundary-tie worst case) goes through
+    both paths at res=4. Face ids may legitimately differ at exact boundary
+    ties, so the gate checks VALUE equivalence — the weight-reconstructed
+    positions agree, weights are a partition of unity, and every returned
+    face actually carries the query's weight mass.
+
+    The verdict is a pure function of (this code, device kind, jax
+    version), so it is cached as a certificate (core/certs.py); a matching
+    certificate skips the probe (tens of seconds of tunnel round-trips —
+    what made BENCH_r04 uncapturable). ``force=True`` always re-probes.
     """
     backend = jax.default_backend()
     if backend != "tpu":
         return False
     ok = _VALIDATED.get("tpu")
-    if ok is not None:
+    if ok is not None and not force:
         return ok
+
+    from ..core import certs
+    key = certs.probe_key(_CERT_SOURCES)
+    if not force:
+        cert = certs.lookup("pallas_locate", key)
+        if cert is not None:
+            _VALIDATED["tpu"] = bool(cert["ok"])
+            _PROVENANCE["tpu"] = f"cert:{cert['date']}"
+            return bool(cert["ok"])
 
     import numpy as np
     from ..core.icosphere import icosphere
@@ -124,6 +149,8 @@ def ensure_validated() -> bool:
         (np.abs(Wp[1024:][hit] - 1.0) < 1e-3).all())
 
     _VALIDATED["tpu"] = bool(ok)
+    _PROVENANCE["tpu"] = "probe"
+    certs.record("pallas_locate", key, bool(ok))
     if not ok:
         import warnings
         warnings.warn("newmsm_tpu: Pallas locate kernel FAILED on-device "

@@ -15,7 +15,13 @@ import sys
 def main():
     port, pid, nproc = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
     mode = sys.argv[4] if len(sys.argv) > 4 else "step"
-    outdir = sys.argv[5] if len(sys.argv) > 5 else ""
+    if len(sys.argv) > 5:
+        outdir = sys.argv[5]
+    else:
+        # never default to CWD: an empty prefix made driver-mode workers
+        # write sphere-*.reg.surf.gii into the repo root (VERDICT r4 #8)
+        import tempfile
+        outdir = tempfile.mkdtemp(prefix="multihost_worker_") + "/"
     flags = os.environ.get("XLA_FLAGS", "")
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=4").strip()

@@ -678,6 +678,270 @@ static PyObject* greedy_color(PyObject*, PyObject* args) {
     return (PyObject*)out;
 }
 
+/* ----------------------------------------------------------------------- */
+/* qpbo_binary: exact oracle for the fusion binary subproblems             */
+/* ----------------------------------------------------------------------- */
+/* Roof-duality (QPBO) solve of the binary "keep vs switch-to-alpha"
+ * energy with triplet (8-combination) and pair (4-combination) tables —
+ * the oracle the multi-start ICM in reg/optimise/fusion.py is measured
+ * against (VERDICT round-4 item #5; the reference reduces these cubic
+ * terms with ELC/HOCR and solves max-flow via FastPD, FastPD.h:157-182).
+ *
+ * Original implementation of the published method (Boros-Hammer roof
+ * duality; Kolmogorov-Rother 2007 construction; Freedman-Drineas cubic
+ * reduction), NOT a port of any existing QPBO code:
+ *   1. each triplet table -> multilinear coefficients; the cubic monomial
+ *      is reduced with one auxiliary variable (negative coefficient
+ *      directly, positive via complementing one argument),
+ *   2. the resulting general quadratic PBF is doubled over literal pairs
+ *      (y_i, y_ibar) so every pairwise term is submodular on its chosen
+ *      literal pair (a non-submodular term on (i,j) is submodular on
+ *      (i, jbar)),
+ *   3. min-cut via Dinic's algorithm; x_i is persistent (part of a global
+ *      optimum) where the two copies agree, and const + maxflow is a
+ *      certified lower bound on the original minimum. If every node is
+ *      labeled the labeling IS a global optimum.
+ *
+ * Returns (labels (K,) int8 in {0,1,-1=unlabeled}, lower_bound float,
+ *          n_unlabeled_including_aux int). */
+
+struct DinicGraph {
+    struct Edge { int to; double cap; int rev; };
+    std::vector<std::vector<Edge>> adj;
+    std::vector<int> level, iter;
+    int n;
+    explicit DinicGraph(int n_) : adj(n_), level(n_), iter(n_), n(n_) {}
+    void add_edge(int u, int v, double cap, double rcap = 0.0) {
+        if (cap <= 0.0 && rcap <= 0.0) return;
+        adj[u].push_back({v, cap, (int)adj[v].size()});
+        adj[v].push_back({u, rcap, (int)adj[u].size() - 1});
+    }
+    bool bfs(int s, int t) {
+        std::fill(level.begin(), level.end(), -1);
+        std::vector<int> q;
+        q.push_back(s);
+        level[s] = 0;
+        for (size_t h = 0; h < q.size(); ++h) {
+            int u = q[h];
+            for (const Edge& e : adj[u])
+                if (e.cap > 1e-12 && level[e.to] < 0) {
+                    level[e.to] = level[u] + 1;
+                    q.push_back(e.to);
+                }
+        }
+        return level[t] >= 0;
+    }
+    double dfs(int u, int t, double f) {
+        if (u == t) return f;
+        for (int& i = iter[u]; i < (int)adj[u].size(); ++i) {
+            Edge& e = adj[u][i];
+            if (e.cap > 1e-12 && level[e.to] == level[u] + 1) {
+                double d = dfs(e.to, t, std::min(f, e.cap));
+                if (d > 0) {
+                    e.cap -= d;
+                    adj[e.to][e.rev].cap += d;
+                    return d;
+                }
+            }
+        }
+        return 0.0;
+    }
+    double maxflow(int s, int t) {
+        double flow = 0.0;
+        while (bfs(s, t)) {
+            std::fill(iter.begin(), iter.end(), 0);
+            double f;
+            while ((f = dfs(s, t, 1e300)) > 0) flow += f;
+        }
+        return flow;
+    }
+    /* source-side reachability in the residual graph (canonical min cut) */
+    void min_cut_side(int s, std::vector<char>& in_s) {
+        in_s.assign(n, 0);
+        std::vector<int> q;
+        q.push_back(s);
+        in_s[s] = 1;
+        for (size_t h = 0; h < q.size(); ++h)
+            for (const Edge& e : adj[q[h]])
+                if (e.cap > 1e-12 && !in_s[e.to]) {
+                    in_s[e.to] = 1;
+                    q.push_back(e.to);
+                }
+    }
+};
+
+struct QpboBuilder {
+    /* literal id: 2*i for y_i, 2*i+1 for its complement copy y_ibar.
+     * x_i = 1  <=>  node on SOURCE side. */
+    int nvars;                    // original + auxiliary
+    double const_term = 0.0;
+    std::vector<double> lam;      // per-LITERAL coefficient of x (lam*x)
+    std::vector<double> edge_caps;             // half-weight capacities
+    std::vector<std::pair<int, int>> edge_lits;
+
+    explicit QpboBuilder(int nv) : nvars(nv), lam(2 * (size_t)nv, 0.0) {}
+    int add_aux() {
+        ++nvars;
+        lam.push_back(0.0);
+        lam.push_back(0.0);
+        return nvars - 1;
+    }
+    /* literal helpers: lit = 2*var + (0 normal | 1 complemented VIEW).
+     * A term on the complemented view of var i is a term on (1 - x_i);
+     * in the doubled graph that is a direct term on copy y_ibar. */
+    void add_unary(int var, double u0, double u1) {
+        /* u0 + (u1-u0) x  on y_i;  mirrored on y_ibar: u1 + (u0-u1) x */
+        const_term += 0.5 * (u0 + u1);
+        lam[2 * (size_t)var] += 0.5 * (u1 - u0);
+        lam[2 * (size_t)var + 1] += 0.5 * (u0 - u1);
+    }
+    /* general pairwise table on (x_a, x_b): t[aa*2+bb]. Internally routed
+     * to a submodular literal pairing, plus the mirrored copy on the
+     * complement literals (the doubled energy is ½[copy + mirror]; when
+     * y_ibar == 1-y_i each copy contributes ½·θ(x_a,x_b)). */
+    void add_pair(int va, int vb, double t00, double t01, double t10,
+                  double t11) {
+        double m = t01 + t10 - t00 - t11;
+        if (m >= 0.0) {
+            half_sub(2 * va, 2 * vb, t00, t01, t10, t11);
+            /* mirror on (y_bbar, y_abar): S(b',a') = θ(1-a', 1-b') */
+            half_sub(2 * vb + 1, 2 * va + 1, t11, t01, t10, t00);
+        } else {
+            /* complement b: table on (y_a, y_bbar): R(a,b') = θ(a, 1-b'),
+             * m' = -m > 0 */
+            half_sub(2 * va, 2 * vb + 1, t01, t00, t11, t10);
+            /* its mirror on (y_b, y_abar): Q(bv,a') = θ(1-a', bv) */
+            half_sub(2 * vb, 2 * va + 1, t10, t00, t11, t01);
+        }
+    }
+    /* one submodular half-weight table on literals (p, q):
+     * E = A + (C-A)x_p + (D-C)x_q + M(1-x_p)x_q, M = B+C-A-D >= 0 */
+    void half_sub(int p, int q, double A, double B, double C, double D) {
+        const_term += 0.5 * A;
+        lam[p] += 0.5 * (C - A);
+        lam[q] += 0.5 * (D - C);
+        double M = B + C - A - D;   // cut pays M when q in S, p in T
+        edge_caps.push_back(0.5 * M);
+        edge_lits.push_back({p, q});
+    }
+};
+
+static PyObject* qpbo_binary(PyObject*, PyObject* args) {
+    PyObject *u0_obj, *u1_obj, *tri_obj, *t8_obj, *pairs_obj, *p4_obj;
+    if (!PyArg_ParseTuple(args, "OOOOOO", &u0_obj, &u1_obj, &tri_obj,
+                          &t8_obj, &pairs_obj, &p4_obj))
+        return nullptr;
+    PyArrayObject* u0 = (PyArrayObject*)PyArray_FROM_OTF(
+        u0_obj, NPY_DOUBLE, NPY_ARRAY_IN_ARRAY);
+    PyArrayObject* u1 = (PyArrayObject*)PyArray_FROM_OTF(
+        u1_obj, NPY_DOUBLE, NPY_ARRAY_IN_ARRAY);
+    PyArrayObject* tri = (PyArrayObject*)PyArray_FROM_OTF(
+        tri_obj, NPY_INT32, NPY_ARRAY_IN_ARRAY);
+    PyArrayObject* t8 = (PyArrayObject*)PyArray_FROM_OTF(
+        t8_obj, NPY_DOUBLE, NPY_ARRAY_IN_ARRAY);
+    PyArrayObject* prs = (PyArrayObject*)PyArray_FROM_OTF(
+        pairs_obj, NPY_INT32, NPY_ARRAY_IN_ARRAY);
+    PyArrayObject* p4 = (PyArrayObject*)PyArray_FROM_OTF(
+        p4_obj, NPY_DOUBLE, NPY_ARRAY_IN_ARRAY);
+    if (!u0 || !u1 || !tri || !t8 || !prs || !p4) {
+        Py_XDECREF(u0); Py_XDECREF(u1); Py_XDECREF(tri);
+        Py_XDECREF(t8); Py_XDECREF(prs); Py_XDECREF(p4);
+        return nullptr;
+    }
+    const npy_intp K = PyArray_DIM(u0, 0);
+    const npy_intp T = PyArray_SIZE(tri) / 3;
+    const npy_intp PR = PyArray_SIZE(prs) / 2;
+    const double* U0 = (const double*)PyArray_DATA(u0);
+    const double* U1 = (const double*)PyArray_DATA(u1);
+    const int32_t* TRI = (const int32_t*)PyArray_DATA(tri);
+    const double* T8 = (const double*)PyArray_DATA(t8);
+    const int32_t* PRS = (const int32_t*)PyArray_DATA(prs);
+    const double* P4 = (const double*)PyArray_DATA(p4);
+
+    QpboBuilder b((int)K);
+    for (npy_intp i = 0; i < K; ++i) b.add_unary((int)i, U0[i], U1[i]);
+
+    for (npy_intp t = 0; t < T; ++t) {
+        const double* f = T8 + 8 * t;
+        int v1 = TRI[3 * t], v2 = TRI[3 * t + 1], v3 = TRI[3 * t + 2];
+        /* multilinear coefficients (f indexed b1*4+b2*2+b3) */
+        double c0 = f[0];
+        double c1 = f[4] - f[0], c2 = f[2] - f[0], c3 = f[1] - f[0];
+        double c12 = f[6] - f[4] - f[2] + f[0];
+        double c13 = f[5] - f[4] - f[1] + f[0];
+        double c23 = f[3] - f[2] - f[1] + f[0];
+        double c123 = f[7] - f[6] - f[5] - f[3] + f[4] + f[2] + f[1] - f[0];
+        b.const_term += c0;
+        b.add_unary(v1, 0.0, c1);
+        b.add_unary(v2, 0.0, c2);
+        b.add_unary(v3, 0.0, c3);
+        if (c12 != 0.0) b.add_pair(v1, v2, 0, 0, 0, c12);
+        if (c13 != 0.0) b.add_pair(v1, v3, 0, 0, 0, c13);
+        if (c23 != 0.0) b.add_pair(v2, v3, 0, 0, 0, c23);
+        if (c123 < 0.0) {
+            /* c123*x1*x2*x3 = min_w c123*w*(x1+x2+x3-2) */
+            int w = b.add_aux();
+            b.add_unary(w, 0.0, -2.0 * c123);
+            b.add_pair(w, v1, 0, 0, 0, c123);
+            b.add_pair(w, v2, 0, 0, 0, c123);
+            b.add_pair(w, v3, 0, 0, 0, c123);
+        } else if (c123 > 0.0) {
+            /* x1x2x3 = x1x2 - x1x2(1-x3); reduce -c123*x1*x2*(1-x3):
+             * min_w -c123*w*(x1+x2+(1-x3)-2) */
+            b.add_pair(v1, v2, 0, 0, 0, c123);
+            int w = b.add_aux();
+            /* -c123*w*(x1+x2-x3-1) = -c123(w*x1 + w*x2 - w*x3 - w) */
+            b.add_unary(w, 0.0, c123);
+            b.add_pair(w, v1, 0, 0, 0, -c123);
+            b.add_pair(w, v2, 0, 0, 0, -c123);
+            b.add_pair(w, v3, 0, 0, 0, c123);
+        }
+    }
+    for (npy_intp p = 0; p < PR; ++p) {
+        const double* f = P4 + 4 * p;
+        b.add_pair(PRS[2 * p], PRS[2 * p + 1], f[0], f[1], f[2], f[3]);
+    }
+
+    /* build flow network: node ids = literals; +2 for s, t */
+    int N = 2 * b.nvars;
+    int S = N, Tk = N + 1;
+    DinicGraph g(N + 2);
+    for (int l = 0; l < N; ++l) {
+        double c = b.lam[l];
+        if (c > 0)      g.add_edge(l, Tk, c);     // pays c when x_l = 1 (S side)
+        else if (c < 0) { g.add_edge(S, l, -c); b.const_term += c; }
+    }
+    for (size_t e = 0; e < b.edge_caps.size(); ++e) {
+        if (b.edge_caps[e] > 0)
+            g.add_edge(b.edge_lits[e].second, b.edge_lits[e].first,
+                       b.edge_caps[e]);
+    }
+    double flow = g.maxflow(S, Tk);
+    std::vector<char> in_s;
+    g.min_cut_side(S, in_s);
+
+    npy_intp dims[1] = {K};
+    PyArrayObject* out = (PyArrayObject*)PyArray_SimpleNew(1, dims, NPY_INT8);
+    int8_t* lab = (int8_t*)PyArray_DATA(out);
+    long unlabeled = 0;
+    for (npy_intp i = 0; i < K; ++i) {
+        int yi = in_s[2 * i] ? 1 : 0;
+        int ybar = in_s[2 * i + 1] ? 1 : 0;
+        if (yi == 1 - ybar) lab[i] = (int8_t)yi;
+        else { lab[i] = -1; ++unlabeled; }
+    }
+    for (int a = (int)K; a < b.nvars; ++a) {
+        int yi = in_s[2 * a] ? 1 : 0;
+        int ybar = in_s[2 * a + 1] ? 1 : 0;
+        if (yi != 1 - ybar) ++unlabeled;
+    }
+    double lower_bound = b.const_term + flow;
+
+    Py_DECREF(u0); Py_DECREF(u1); Py_DECREF(tri);
+    Py_DECREF(t8); Py_DECREF(prs); Py_DECREF(p4);
+    return Py_BuildValue("(Ndl)", (PyObject*)out, lower_bound, unlabeled);
+}
+
 static PyMethodDef methods[] = {
     {"adjacency", adjacency, METH_VARARGS,
      "adjacency(faces, nverts) -> (nbr_idx, nbr_cnt, tri_idx, tri_cnt)"},
@@ -689,6 +953,10 @@ static PyMethodDef methods[] = {
      "nearest_triangle_bvh(coords, faces, queries) -> (Q,) triangle ids"},
     {"greedy_color", greedy_color, METH_VARARGS,
      "greedy_color(row_ptr, col) -> (N,) first-fit colors, node order"},
+    {"qpbo_binary", qpbo_binary, METH_VARARGS,
+     "qpbo_binary(u0, u1, triplets, t8, pairs, p4) -> (labels (K,) int8 "
+     "{0,1,-1}, lower_bound, n_unlabeled) — roof-duality oracle for the "
+     "fusion binary subproblems (all-labeled => global optimum)"},
     {"bench_unary", bench_unary, METH_VARARGS,
      "bench_unary(tgt_coords, tgt_faces, tgt_data, cp, rl, patch_pts, "
      "patch_data, mask, reps, threads) -> (sec_per_volume, costs (K,L))"},

@@ -195,7 +195,7 @@ def _binary_icm(x, u0, u1, t8, p4, triplets, pairs, tables: FusionTables,
 def fusion_binary_solve(labeling, alpha, unary, triplets,
                         tables: FusionTables, triplet_combo_fn: Callable,
                         pairs=None, pair_combo_fn: Optional[Callable] = None,
-                        icm_passes: int = 8, n_restarts: int = 2):
+                        icm_passes: int = 8, n_restarts: int = 8):
     """Solve one binary fusion move (replaces ELC reduction + FastPD,
     Fusion.h:122-244): multi-start parallel ICM from x=0 ("keep all"),
     x=1 ("all switch to alpha") and `n_restarts` seeded random starts,
@@ -203,7 +203,12 @@ def fusion_binary_solve(labeling, alpha, unary, triplets,
     where a jointly-beneficial block move is rejected node-by-node from x=0
     (FastPD finds such moves via max-flow);
     tests/test_fusion_optimality.py certifies exactness by enumeration on
-    12-node problems. Starts run batched (vmapped), so wall-time cost is
+    12-node problems, and tests/test_qpbo_oracle.py measures the gap against
+    a native roof-duality oracle on real K=162/K=642 registration
+    subproblems: at n_restarts=2 the oracle exposed moves up to ~1e-3
+    relative above a certified-improvable assignment; at n_restarts=8 no
+    oracle-certified improvement exists on any production move (round-5
+    measurement). Starts run batched (vmapped), so wall-time cost is
     sublinear in the start count. Returns binary x (K,)."""
     u0, u1, t8, p4 = binary_move_tables(labeling, alpha, unary, triplets,
                                         triplet_combo_fn, pairs,
@@ -231,7 +236,8 @@ def fusion_binary_solve(labeling, alpha, unary, triplets,
 def fusion_optimize(labeling, unary, triplets, tables: FusionTables,
                     triplet_combo_fn: Callable, num_labels: int,
                     pairs=None, pair_combo_fn: Optional[Callable] = None,
-                    sweeps: int = 2, icm_passes: int = 8):
+                    sweeps: int = 2, icm_passes: int = 8,
+                    n_restarts: int = 8):
     """Fusion sweep: for each sweep x candidate label alpha, solve the binary
     move problem and accept improving flips. Returns the new labeling.
 
@@ -242,7 +248,7 @@ def fusion_optimize(labeling, unary, triplets, tables: FusionTables,
         alpha = i % num_labels
         x = fusion_binary_solve(labeling, alpha, unary, triplets, tables,
                                 triplet_combo_fn, pairs, pair_combo_fn,
-                                icm_passes)
+                                icm_passes, n_restarts)
         return jnp.where(x == 1, alpha, labeling)
 
     return jax.lax.fori_loop(0, sweeps * num_labels, body, labeling)

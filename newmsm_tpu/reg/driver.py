@@ -367,6 +367,25 @@ class MeshRegistration:
                         labeling, unary, jnp.zeros((0, 3), jnp.int32),
                         lambda la, lb, lc: jnp.zeros(la.shape, jnp.float32),
                         pairs=model.tables.pairs, pair_combo_fn=pfn))
+                    if self.metrics_path:
+                        # MSMpair folding-gate activity (VERDICT r4 #3):
+                        # how many (pair,la,lb) entries the FOLDING gate
+                        # blocks, and whether the CHOSEN labeling ever
+                        # lands on a gated entry (must be 0)
+                        vol = C.pairwise_cost_volume(
+                            s["rl"], s["cp"], model.tables,
+                            cfg.reglambda[level], cfg.regexp)
+                        gated = int(jnp.sum(vol >= 1e6))
+                        lab_j = jnp.asarray(labeling)
+                        pr = model.tables.pairs
+                        chosen = vol[jnp.arange(pr.shape[0]),
+                                     lab_j[pr[:, 0]], lab_j[pr[:, 1]]]
+                        self._log_metrics(
+                            event="fold_gate", level=self.level, iter=it,
+                            gated_entries=gated,
+                            gated_fraction=round(
+                                gated / float(vol.size), 6),
+                            chosen_gated=int(jnp.sum(chosen >= 1e6)))
                 else:
                     labeling = FU.fusion_optimize(
                         labeling, unary, model.tables.triplets,

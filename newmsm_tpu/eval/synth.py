@@ -85,13 +85,23 @@ def smooth_sphere_warp(unit: np.ndarray, seed: int,
 
 
 def synth_cohort(res: int, n_subjects: int, seed: int = 0,
-                 warp_deg: float = 9.0, noise: float = 0.45):
+                 warp_deg: float = 9.0, noise: float = 0.45,
+                 idio_band: str = "smooth"):
     """Build a cohort of n_subjects (mesh, (2,N) data) on the ico-`res`
     sphere plus the (2,N) group-template data.
 
     Subject s's data = group_pattern(warp_s(x)) + noise * idiosyncratic(x):
     registration should recover (approximately) warp_s^{-1}. Returns
-    (meshes, datasets, template_data)."""
+    (meshes, datasets, template_data).
+
+    idio_band: "smooth" (default, rounds 3-4) puts the idiosyncratic folds
+    at the same angular scales as the group pattern — they are then
+    mutually ALIGNABLE by warping, so a groupwise objective is rewarded
+    (in CC) for deformation real cortical anatomy would not repay (the
+    distortion-overshoot confound diagnosed in PARITY_RESULTS.md round 4).
+    "hf" moves the idiosyncratic energy to 12-25 cycles/half-turn — well
+    below the control-grid resolution, non-alignable, like real
+    subject-specific microstructure — removing that confound."""
     sphere = Mesh.from_icosphere(res)
     sphere.true_rescale(RAD)
     unit = np.asarray(sphere.coords) / RAD
@@ -105,8 +115,11 @@ def synth_cohort(res: int, n_subjects: int, seed: int = 0,
         data = pattern(w)
         rng = np.random.default_rng((seed, s, 5))
         for d in range(2):
-            idio = _wave_field(unit, rng, 12, 2.0 if d == 0 else 6.0,
-                               5.0 if d == 0 else 12.0)
+            if idio_band == "hf":
+                kmin, kmax = (12.0, 20.0) if d == 0 else (16.0, 25.0)
+            else:
+                kmin, kmax = (2.0, 5.0) if d == 0 else (6.0, 12.0)
+            idio = _wave_field(unit, rng, 12, kmin, kmax)
             data[d] = data[d] + noise * idio
             data[d] /= data[d].std()
         meshes.append(Mesh(coords=sphere.coords.copy(), faces=sphere.faces))

@@ -147,7 +147,7 @@ def _binary_icm(x, u0, u1, t8, p4, triplets, pairs, tables: FusionTables,
     K = u0.shape[0]
     n_colors = tables.vgroups.shape[0]
 
-    def icm_pass(_, x):
+    def _one_pass(x):
         def do_color(c, x):
             nodes = tables.vgroups[c]
             gmask = tables.vgroup_mask[c]
@@ -189,7 +189,23 @@ def _binary_icm(x, u0, u1, t8, p4, triplets, pairs, tables: FusionTables,
 
         return jax.lax.fori_loop(0, n_colors, do_color, x)
 
-    return jax.lax.fori_loop(0, icm_passes, icm_pass, x)
+    # early-exit pass loop: a pass that flips nothing is a fixed point, so
+    # further passes are no-ops — while_loop stops there (typical binary
+    # moves converge in 2-3 of the icm_passes budget; measured ~2x on the
+    # fusion stage, scripts/profile_fusion.py). Identical result to the
+    # fixed fori_loop by construction.
+    def cond(c):
+        _, changed, i = c
+        return jnp.logical_and(changed, i < icm_passes)
+
+    def body(c):
+        x, _, i = c
+        nx = _one_pass(x)
+        return nx, jnp.any(nx != x), i + 1
+
+    x, _, _ = jax.lax.while_loop(cond, body, (x, jnp.bool_(True),
+                                              jnp.int32(0)))
+    return x
 
 
 def fusion_binary_solve(labeling, alpha, unary, triplets,

@@ -1,0 +1,127 @@
+"""Full-scale groupwise distortion diagnosis (VERDICT round-4 item #4).
+
+Round 4's full-scale groupwise row spends 2.46x typical's areal distortion
+(published reference ratio: 1.53x, docs/guide.md:437-439), with the
+diagnosed-but-untested confound that the synthetic cohort's idiosyncratic
+folds are band-limited smooth fields — mutually alignable, so the group
+objective buys above-published CC with above-published distortion. This
+script closes the item with BOTH of the verdict's suggested attacks, at
+FULL scale (S=6, ico-6) on the device:
+
+  lam    groupwise lambda extension sweep (0.4, 0.5; 0.3 is the round-4
+         parity_full.json row) on the standard cohort -> matched-CC
+         comparison data along the lambda curve.
+  hf     the confound-corrected cohort (synth_cohort(idio_band='hf'):
+         idiosyncratic energy at 12-25 cycles/half-turn, non-alignable):
+         typical + groupwise(lambda=0.3) -> the ratio the reference's
+         published table actually measures.
+
+Writes group_full_diag.json; appends a summary to PARITY_RESULTS.md.
+tests/test_parity.py gates the hf-cohort ratio (nightly, device only).
+
+  python scripts/group_full_diag.py [--fast] [--phases=lam,hf]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+
+def main():
+    fast = "--fast" in sys.argv
+    phases = {"lam", "hf"}
+    for a in sys.argv:
+        if a.startswith("--phases="):
+            phases = set(a.split("=", 1)[1].split(","))
+    import jax
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+    from newmsm_tpu.core.cache import enable_compile_cache
+    enable_compile_cache()
+    from newmsm_tpu.core.mesh import Mesh
+    from newmsm_tpu.eval.synth import synth_cohort
+    from parity_harness import (FAST_GROUPWISE, FAST_TYPICAL,
+                                GROUPWISE_CONFIG, TYPICAL_CONFIG, _cfg,
+                                run_groupwise, run_typical)
+
+    S = 4 if fast else 6
+    res = 4 if fast else 6
+    print(f"device: {jax.devices()[0]}  S={S} ico-{res} fast={fast}",
+          flush=True)
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    json_path = os.path.join(root, "group_full_diag.json")
+    out = {"fast": fast, "S": S, "res": res}
+    if os.path.exists(json_path):
+        with open(json_path) as f:
+            out.update(json.load(f))
+
+    gw_text = FAST_GROUPWISE if fast else GROUPWISE_CONFIG
+    ty_text = FAST_TYPICAL if fast else TYPICAL_CONFIG
+
+    if "lam" in phases:
+        meshes, datasets, template_data = synth_cohort(res, S, seed=0)
+        template = Mesh.from_icosphere(res)
+        template.true_rescale(100.0)
+        for lam in (0.5,):
+            t0 = time.perf_counter()
+            cfg = _cfg(gw_text.replace("--lambda=0.3,0.3,0.3",
+                                       f"--lambda={lam},{lam},{lam}"))
+            stats = run_groupwise(meshes, datasets, template, cfg)
+            stats["wall_s"] = round(time.perf_counter() - t0, 1)
+            out[f"groupwise_lam{lam}"] = stats
+            print(f"lam={lam}:", json.dumps(stats), flush=True)
+            with open(json_path, "w") as f:
+                json.dump(out, f, indent=1)
+
+    if "hf" in phases:
+        meshes, datasets, template_data = synth_cohort(res, S, seed=0,
+                                                       idio_band="hf")
+        template = Mesh.from_icosphere(res)
+        template.true_rescale(100.0)
+        from parity_harness import channel_stats
+        out["hf_before"] = channel_stats(datasets)
+        print("hf before:", json.dumps(out["hf_before"]), flush=True)
+        t0 = time.perf_counter()
+        out["hf_typical"] = run_typical(meshes, datasets, template_data,
+                                        _cfg(ty_text))
+        out["hf_typical"]["wall_s"] = round(time.perf_counter() - t0, 1)
+        print("hf typical:", json.dumps(out["hf_typical"]), flush=True)
+        with open(json_path, "w") as f:
+            json.dump(out, f, indent=1)
+        # matched-CC protocol: raise lambda until groupwise CC approaches
+        # typical's (it must stay equal-or-better); report the ratio there.
+        # Fast-scale knee: lam=0.8 -> ratio 1.72 at CC 0.832/0.473,
+        # lam=1.2 -> 1.62 at 0.803/0.423 (typical: 0.724/0.299).
+        for lam in (0.3, 0.8, 1.2):
+            t0 = time.perf_counter()
+            cfg = _cfg(gw_text.replace("--lambda=0.3,0.3,0.3",
+                                       f"--lambda={lam},{lam},{lam}"))
+            key = f"hf_groupwise_lam{lam}"
+            out[key] = run_groupwise(meshes, datasets, template, cfg)
+            out[key]["wall_s"] = round(time.perf_counter() - t0, 1)
+            ratio = (out[key]["areal_mean"]
+                     / max(out["hf_typical"]["areal_mean"], 1e-9))
+            out[key]["ratio_vs_typical"] = round(ratio, 3)
+            print(f"hf groupwise lam={lam}:", json.dumps(out[key]),
+                  flush=True)
+            print(f"  ratio {ratio:.2f}x (published reference: 1.53x; "
+                  "published CC sulc/curv 0.801/0.534)", flush=True)
+            with open(json_path, "w") as f:
+                json.dump(out, f, indent=1)
+
+    with open(json_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote", json_path, flush=True)
+
+
+if __name__ == "__main__":
+    main()

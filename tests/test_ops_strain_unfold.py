@@ -65,6 +65,30 @@ class TestStrain:
         np.testing.assert_allclose(float(emin[0]), 0.0, atol=1e-5)
 
 
+class TestVertexStrainsVectorised:
+    def test_vectorised_matches_reference_loop(self):
+        """The round-5 vectorised vertex_strains (exact k-NN candidates,
+        batched quadratic fits/eigh) must reproduce the reference-shaped
+        per-vertex loop bit-for-bit-close on a folded anatomical pair —
+        the loop stalled the aMSM output stage for tens of minutes at
+        ico-6 (O(N^2) distances + one JAX dispatch per vertex)."""
+        from newmsm_tpu.reg import strains_output as SO
+        m = Mesh.from_icosphere(3)
+        m.true_rescale(100.0)
+        anat = m.copy()
+        u = np.asarray(m.coords) / 100.0
+        fold = np.sin(u @ np.array([2.0, 1.0, 3.0]))
+        anat.coords = m.coords * (1.0 + 0.08 * fold)[:, None] \
+            * np.array([1.0, 1.0, 0.85])
+        fin = anat.copy()
+        fin.coords = anat.coords * (
+            1.0 + 0.05 * np.cos(u @ np.array([1.0, 3.0, 2.0])))[:, None]
+        vec = SO.vertex_strains(anat, fin, 2.0)
+        loop, _ = SO._vertex_strains_loop(anat, fin, 2.0)
+        np.testing.assert_allclose(vec, loop, atol=1e-10)
+        assert np.isfinite(vec).all()
+
+
 class TestUnfold:
     def test_clean_mesh_untouched(self):
         m = Mesh.from_icosphere(2)

@@ -70,13 +70,17 @@ def owner_tables(res: int):
     for j in range(3):
         np.minimum.at(first_face, F[:, j], np.arange(T))
     owner_blk = first_face >> 6
+    # diagnose overflow BEFORE filling: the in-loop store would raise a
+    # bare IndexError first and the descriptive error would never surface
+    # (ADVICE r4)
+    counts = np.bincount(owner_blk, minlength=nfb)
+    if counts.max() > _G:
+        raise AssertionError(f"owner group overflow: {counts.max()} > {_G}")
     vgroup = np.full((nfb, _G), -1, np.int32)
     fill = np.zeros(nfb, np.int32)
     for v, b in enumerate(owner_blk):
         vgroup[b, fill[b]] = v
         fill[b] += 1
-    if fill.max() > _G:
-        raise AssertionError(f"owner group overflow: {fill.max()} > {_G}")
     fv = c[F].reshape(T, 3, 3)
     centres = np.zeros((nfb, 3))
     caps = np.zeros(nfb)

@@ -8,9 +8,13 @@ until fold-free.
 
 The reference updates vertices sequentially inside a sweep; here all folded
 vertices update in parallel per sweep (each against the current neighbour
-positions), which converges to the same fold-free fixed point — the outer
-loop only terminates when no folds remain, which is the correctness gate the
-registration drivers rely on.
+positions), which converges to the same fold-free fixed point. The outer
+loop terminates when no folds remain (the correctness gate the
+registration drivers rely on), at max_iter (the reference's 1000-sweep cap,
+reg_tools.cpp:118), or early on a TRUE stall: fold count not improving for
+4 consecutive 25-sweep chunks AND max vertex motion below tolerance — the
+state in which the reference itself burns its remaining sweeps stepping in
+place on everted clusters, leaving the same residual folds.
 """
 from __future__ import annotations
 
@@ -189,6 +193,7 @@ def unfold(mesh: Mesh, verbose: bool = False, max_iter: int = 1000,
     stalled = 0
     best_nf = None
     while it_total < max_iter:
+        prev = coords
         coords, nf, it = unfold_kernel(
             coords, faces, tri_idx, vg, vm, nbr_idx,
             max_iter=min(chunk, max_iter - it_total))
@@ -196,18 +201,25 @@ def unfold(mesh: Mesh, verbose: bool = False, max_iter: int = 1000,
         if int(nf) == 0 or int(it) < chunk:
             break
         # stall break: when the fold count stops improving for 4 chunks
-        # (100 sweeps) the remaining folds are everted clusters neither the
-        # gradient step nor the centroid fallback dissolves — the reference
-        # burns its full 1000 iterations in this state (reg_tools.cpp:163-
-        # 172 keeps stepping in place); stopping early gives the same
-        # residual-fold outcome without the dead sweeps
+        # (100 sweeps) AND the coordinates have stopped moving, the
+        # remaining folds are everted clusters neither the gradient step
+        # nor the centroid fallback dissolves — the reference burns its
+        # full 1000 iterations in this state (reg_tools.cpp:163-172 keeps
+        # stepping in place); stopping there gives the same residual-fold
+        # outcome without the dead sweeps. A plateaued fold COUNT alone is
+        # not enough (ADVICE r4): vertices can keep moving toward a
+        # resolution while the count holds, so motion below tolerance is
+        # also required before breaking.
+        motion = float(jnp.max(jnp.abs(coords - prev)))
         if best_nf is None or int(nf) < best_nf:
             best_nf = int(nf)
             stalled = 0
-        else:
+        elif motion < 1e-3:                      # units of RAD=100 coords
             stalled += 1
             if stalled >= 4:
                 break
+        else:
+            stalled = 0
     if verbose and it_total > 0:
         print(f"unfold: {it_total} sweeps, {int(nf)} residual folds")
     out = mesh.copy()

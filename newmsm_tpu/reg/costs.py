@@ -311,10 +311,17 @@ def unary_costs(cp_coords, rl, src_coords, patch_idx, patch_mask,
     fblk > 0 enables the block-contiguous target-data gather
     (ops/blocked.py) with a per-CP budget of fblk blocks; requires `limits`
     (K,) = the in-range patch radii (cprange*maxsep, units at RAD) so the
-    block selection can certify cover of every rotated patch point. With
-    return_miss=True also returns the certificate-miss count (must be 0;
-    drivers treat nonzero like patch overflow).
+    block selection can certify cover of every rotated patch point, and
+    REQUIRES return_miss=True: the blocked gather zero-fills missed
+    queries, so discarding the miss counter would be a silent cap
+    (ADVICE r4 — no-silent-caps is enforced by the API, not caller
+    convention). With return_miss=True the certificate-miss count is also
+    returned (must be 0; drivers treat nonzero like patch overflow).
     """
+    if fblk > 0 and not return_miss:
+        raise ValueError("unary_costs: fblk > 0 requires return_miss=True "
+                         "(the miss counter is the only signal that the "
+                         "block-gather certificate failed)")
     K, L = rl.shape[0], rl.shape[1]
     P = patch_idx.shape[1]
     D = src_data.shape[0]

@@ -71,7 +71,10 @@ class GroupLevelStatics(NamedTuple):
     fixnan: bool
     sweeps: int = 2
     icm_passes: int = 8
-    n_restarts: int = 2
+    # 8 matches the oracle-validated single-pair default (fusion.py;
+    # tests/test_qpbo_oracle.py found real gaps at 2). The ICM early-exit
+    # pass loop offsets most of the extra start cost.
+    n_restarts: int = 8
 
 
 class GroupIterTables(NamedTuple):

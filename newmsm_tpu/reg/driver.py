@@ -144,6 +144,17 @@ class MeshRegistration:
                       f"({cfg.cost[level]}, datagrid {cfg.datagrid[level]})")
             self._initialize_level(level)
             self._evaluate(level)
+            if self.metrics_path and self.sph_reg is not None:
+                # per-level warp distortion (diagnosis aid: which level
+                # spends the deformation budget)
+                from ..eval import metrics as _em
+                areal, shape = _em.distortion_maps(self.sph_orig,
+                                                   self.sph_reg)
+                self._log_metrics(event="level_distortion",
+                                  level=self.level,
+                                  **{k: round(v, 4) for k, v in
+                                     _em.distortion_stats(areal,
+                                                          shape).items()})
 
         self._write_outputs()
         return self.sph_reg

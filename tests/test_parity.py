@@ -141,3 +141,63 @@ class TestQualityParity:
         from newmsm_tpu.ops.unfold import count_folds
         for m in res.dedrifted_spheres:
             assert count_folds(m) == 0
+
+    def test_msmpair_lambda_response_and_gate(self, cohort, tmp_path):
+        """MSMpair (regoption=1) gate (VERDICT r4 #3): at CI scale the
+        pairwise penalty must respond to lambda (distortion strictly
+        decreasing over a 10x raise), the chosen labeling must NEVER land
+        on a FOLDING-gated entry, and the lam-x3 distortion must sit
+        within ~2x of the strain-typical level. Full-scale behaviour
+        (lambda-insensitive viscous churn) is root-caused in
+        PARITY_RESULTS.md — it is a property of the reference's own
+        energy, so CI gates the regime where lambda verifiably bites."""
+        import json
+
+        from newmsm_tpu.reg.driver import MeshRegistration
+
+        meshes, datasets, template, template_data = cohort
+
+        def run(lmult, tag):
+            cfg = RegConfig()
+            cfg.cost = ["AFFINE", "DISCRETE", "DISCRETE"]
+            cfg.simval = [2, 2, 2]
+            cfg.iters = [10, 3, 3]
+            cfg.sigma_in = [2.0, 2.0, 1.0]
+            cfg.sigma_ref = [2.0, 2.0, 1.0]
+            cfg.reglambda = [0.0, 0.1 * lmult, 0.2 * lmult]
+            cfg.datagrid = [3, 3, 3]
+            cfg.cpgrid = [0, 1, 2]
+            cfg.sampgrid = [0, 3, 4]
+            cfg.anatgrid = [3, 3, 3]
+            cfg.mciters = [0, 0, 0]
+            cfg.dopt = "HOCR"
+            cfg.regmode = 1
+            mr = MeshRegistration()
+            mr.set_input(meshes[0].copy())
+            mr.set_reference(meshes[0].copy())
+            mr.set_input_data(datasets[0])
+            mr.set_reference_data(template_data)
+            mr.outdir = str(tmp_path / f"p{tag}.")
+            mr.metrics_path = str(tmp_path / f"p{tag}.jsonl")
+            mr.run_multiresolutions(cfg)
+            d = metrics.distortion_stats(*metrics.distortion_maps(
+                mr.in_mesh, mr.warped_input))
+            chosen_gated = 0
+            with open(mr.metrics_path) as f:
+                for line in f:
+                    ev = json.loads(line)
+                    if ev.get("event") == "fold_gate":
+                        chosen_gated += ev["chosen_gated"]
+            cc = metrics.cross_correlation(mr.transformed_data[0],
+                                           template_data[0])
+            return d["areal_mean"], chosen_gated, float(cc)
+
+        a1, g1, cc1 = run(1.0, "x1")
+        a10, g10, cc10 = run(10.0, "x10")
+        assert g1 == 0 and g10 == 0, (g1, g10)
+        assert a10 < a1, (a1, a10)              # lambda bites at CI scale
+        a3, g3, cc3 = run(3.0, "x3")
+        assert g3 == 0
+        # within ~2x of the strain-typical CI level (~0.14 at calibration)
+        assert a3 <= 0.30, (a1, a3, a10)
+        assert cc3 > 0.60, cc3

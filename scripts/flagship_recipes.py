@@ -159,8 +159,15 @@ def run_multimodal(fast, verbose=True):
 
 
 def append_markdown(out, path):
-    lines = ["", "## Flagship recipe rows (round 5, reference configs "
-             "verbatim, one TPU v5e)", ""]
+    header = ("## Flagship recipe rows (round 5, reference configs "
+              "verbatim, one TPU v5e)")
+    with open(path) as f:
+        if header in f.read():
+            print("flagship section already in PARITY_RESULTS.md — edit "
+                  "manually to update (results are in flagship_full.json)",
+                  flush=True)
+            return
+    lines = ["", header, ""]
     if "amsm" in out:
         a = out["amsm"]
         lines += [

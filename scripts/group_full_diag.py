@@ -101,7 +101,7 @@ def main():
         # typical's (it must stay equal-or-better); report the ratio there.
         # Fast-scale knee: lam=0.8 -> ratio 1.72 at CC 0.832/0.473,
         # lam=1.2 -> 1.62 at 0.803/0.423 (typical: 0.724/0.299).
-        for lam in (0.3, 0.8, 1.2):
+        for lam in (0.3, 0.8):
             t0 = time.perf_counter()
             cfg = _cfg(gw_text.replace("--lambda=0.3,0.3,0.3",
                                        f"--lambda={lam},{lam},{lam}"))

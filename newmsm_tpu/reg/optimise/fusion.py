@@ -189,23 +189,19 @@ def _binary_icm(x, u0, u1, t8, p4, triplets, pairs, tables: FusionTables,
 
         return jax.lax.fori_loop(0, n_colors, do_color, x)
 
-    # early-exit pass loop: a pass that flips nothing is a fixed point, so
-    # further passes are no-ops — while_loop stops there (typical binary
-    # moves converge in 2-3 of the icm_passes budget; measured ~2x on the
-    # fusion stage, scripts/profile_fusion.py). Identical result to the
-    # fixed fori_loop by construction.
-    def cond(c):
-        _, changed, i = c
-        return jnp.logical_and(changed, i < icm_passes)
+    # NOTE a while_loop early-exit here (stop at the first no-flip pass)
+    # won 4x on the ISOLATED icm stage on CPU but made no measurable
+    # difference end-to-end in either the pairwise fusion sweep (CPU,
+    # scripts/profile_fusion.py) or the full group driver on TPU (round-5
+    # A/B at S=6 ico-6: ~95-100 s/iter both ways — the iteration cost is
+    # dominated by per-alpha table builds, not ICM passes). The fixed
+    # fori_loop is kept: under vmap a while_loop runs every batch element
+    # to the slowest start anyway, and the static trip count is the more
+    # predictable lowering. Post-fixed-point passes are no-ops either way.
+    def icm_pass(_, x):
+        return _one_pass(x)
 
-    def body(c):
-        x, _, i = c
-        nx = _one_pass(x)
-        return nx, jnp.any(nx != x), i + 1
-
-    x, _, _ = jax.lax.while_loop(cond, body, (x, jnp.bool_(True),
-                                              jnp.int32(0)))
-    return x
+    return jax.lax.fori_loop(0, icm_passes, icm_pass, x)
 
 
 def fusion_binary_solve(labeling, alpha, unary, triplets,

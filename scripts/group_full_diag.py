@@ -90,13 +90,14 @@ def main():
         from parity_harness import channel_stats
         out["hf_before"] = channel_stats(datasets)
         print("hf before:", json.dumps(out["hf_before"]), flush=True)
-        t0 = time.perf_counter()
-        out["hf_typical"] = run_typical(meshes, datasets, template_data,
-                                        _cfg(ty_text))
-        out["hf_typical"]["wall_s"] = round(time.perf_counter() - t0, 1)
+        if "hf_typical" not in out:
+            t0 = time.perf_counter()
+            out["hf_typical"] = run_typical(meshes, datasets, template_data,
+                                            _cfg(ty_text))
+            out["hf_typical"]["wall_s"] = round(time.perf_counter() - t0, 1)
+            with open(json_path, "w") as f:
+                json.dump(out, f, indent=1)
         print("hf typical:", json.dumps(out["hf_typical"]), flush=True)
-        with open(json_path, "w") as f:
-            json.dump(out, f, indent=1)
         # matched-CC protocol: raise lambda until groupwise CC approaches
         # typical's (it must stay equal-or-better); report the ratio there.
         # Fast-scale knee: lam=0.8 -> ratio 1.72 at CC 0.832/0.473,

@@ -61,11 +61,20 @@ def use_pallas() -> bool:
         return False
     ok = _VALIDATED.get("tpu")
     if ok is None:
-        if not jax.core.trace_state_clean():
-            # mid-trace and never validated: cannot launch the probe here.
-            # Fall back to the XLA path for this trace; drivers/bench call
-            # ensure_validated() up front so this only happens for direct
-            # library use.
+        # mid-trace and never validated: cannot launch the probe here.
+        # Fall back to the XLA path for this trace; drivers/bench call
+        # ensure_validated() up front so this only happens for direct
+        # library use. (the trace-state API moved across jax versions:
+        # trace_state_clean() pre-0.5, trace_ctx.is_top_level() on 0.9 —
+        # treat "cannot tell" as mid-trace.)
+        try:
+            clean = jax.core.trace_ctx.is_top_level()
+        except AttributeError:
+            try:
+                clean = jax.core.trace_state_clean()
+            except Exception:
+                clean = False
+        if not clean:
             return False
         ok = ensure_validated()
     return bool(ok)

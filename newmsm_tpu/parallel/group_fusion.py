@@ -70,7 +70,7 @@ class GroupLevelStatics(NamedTuple):
     cprange: float
     fixnan: bool
     sweeps: int = 2
-    icm_passes: int = 8
+    icm_passes: int = 4
     n_restarts: int = 2
 
 

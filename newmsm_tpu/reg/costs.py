@@ -461,7 +461,21 @@ def triplet_combo_costs(rl, cp_coords, tables: LevelTables, la, lb, lc,
     va = rl[t[:, 0][:, None], la]                      # (T,C,3)
     vb = rl[t[:, 1][:, None], lb]
     vc = rl[t[:, 2][:, None], lc]
+    return triplet_costs_from_positions(
+        va, vb, vc, cp_coords, tables, reglambda, mu, kappa, k_exp, rexp,
+        fixnan=fixnan, lambda_scale=lambda_scale)
 
+
+def triplet_costs_from_positions(va, vb, vc, cp_coords,
+                                 tables: LevelTables, reglambda, mu, kappa,
+                                 k_exp, rexp, fixnan=False,
+                                 lambda_scale=1.0):
+    """Strain triplet cost from explicit corner POSITIONS (T,C,3) — the
+    shared body of triplet_combo_costs, also fed by the binary-move fast
+    path that builds the 8 combos from 2 gathered positions per corner
+    (the (T,8) label gathers were 94% of the fusion tables stage on-chip,
+    scripts/profile_fusion.py round 5)."""
+    t = tables.triplets
     cur = cp_coords[t]                                 # (T,3,3)
     n_cur = sph.tri_normal(cur[:, 0], cur[:, 1], cur[:, 2])    # (T,3)
     n_def = sph.tri_normal(va, vb, vc)

@@ -311,6 +311,29 @@ class PairwiseModel:
                 cfg.kappa, cfg.k_exp, cfg.rexp, fixnan=cfg.fixnan)
 
         if not cfg.triclique:
+            if cfg.regmode in (2, 3):
+                t = self.tables.triplets
+
+                def binary_fast(cur3, alpha):
+                    """(T,8) strain tables from 2 gathered positions per
+                    corner (see fusion.binary_move_tables)."""
+                    from .optimise.fusion import _BITS
+                    combos = []
+                    for corner in range(3):
+                        v2 = jnp.stack(
+                            [rl[t[:, corner], cur3[:, corner]],
+                             rl[t[:, corner],
+                                jnp.broadcast_to(alpha, cur3[:, 0].shape)]],
+                            axis=1)                     # (T,2,3)
+                        bit = _BITS[:, corner]          # (8,)
+                        combos.append(jnp.where(bit[None, :, None] == 1,
+                                                v2[:, 1:2], v2[:, 0:1]))
+                    va, vb, vc = combos                 # (T,8,3) each
+                    return C.triplet_costs_from_positions(
+                        va, vb, vc, cp, self.tables, cfg.reglambda, cfg.mu,
+                        cfg.kappa, cfg.k_exp, cfg.rexp, fixnan=cfg.fixnan)
+
+                regulariser.binary_fast = binary_fast
             return regulariser
 
         def fn(la, lb, lc):

@@ -107,10 +107,19 @@ def binary_move_tables(labeling, alpha, unary, triplets,
     t8 = None
     if triplets.shape[0] > 0:
         cur = labeling[triplets]                        # (T,3)
-        la = jnp.where(_BITS[None, :, 0] == 1, alpha, cur[:, 0:1])
-        lb = jnp.where(_BITS[None, :, 1] == 1, alpha, cur[:, 1:2])
-        lc = jnp.where(_BITS[None, :, 2] == 1, alpha, cur[:, 2:3])
-        t8 = triplet_combo_fn(la, lb, lc)               # (T,8)
+        fast = getattr(triplet_combo_fn, "binary_fast", None)
+        if fast is not None:
+            # binary specialisation: only 2 candidate labels per corner
+            # (current vs alpha) — the provider gathers (T,2,3) positions
+            # and selects into the 8 combos, 4x fewer gather rows than the
+            # generic (T,8) label gathers (94% of the tables stage
+            # on-chip, scripts/profile_fusion.py round 5)
+            t8 = fast(cur, alpha)                       # (T,8)
+        else:
+            la = jnp.where(_BITS[None, :, 0] == 1, alpha, cur[:, 0:1])
+            lb = jnp.where(_BITS[None, :, 1] == 1, alpha, cur[:, 1:2])
+            lc = jnp.where(_BITS[None, :, 2] == 1, alpha, cur[:, 2:3])
+            t8 = triplet_combo_fn(la, lb, lc)           # (T,8)
 
     p4 = None
     if pairs is not None and pair_combo_fn is not None:
@@ -207,7 +216,7 @@ def _binary_icm(x, u0, u1, t8, p4, triplets, pairs, tables: FusionTables,
 def fusion_binary_solve(labeling, alpha, unary, triplets,
                         tables: FusionTables, triplet_combo_fn: Callable,
                         pairs=None, pair_combo_fn: Optional[Callable] = None,
-                        icm_passes: int = 8, n_restarts: int = 2):
+                        icm_passes: int = 4, n_restarts: int = 2):
     """Solve one binary fusion move (replaces ELC reduction + FastPD,
     Fusion.h:122-244): multi-start parallel ICM from x=0 ("keep all"),
     x=1 ("all switch to alpha"), the GREEDY-UNARY start (x = [u1 < u0] —
@@ -251,7 +260,7 @@ def fusion_binary_solve(labeling, alpha, unary, triplets,
 def fusion_optimize(labeling, unary, triplets, tables: FusionTables,
                     triplet_combo_fn: Callable, num_labels: int,
                     pairs=None, pair_combo_fn: Optional[Callable] = None,
-                    sweeps: int = 2, icm_passes: int = 8,
+                    sweeps: int = 2, icm_passes: int = 4,
                     n_restarts: int = 2):
     """Fusion sweep: for each sweep x candidate label alpha, solve the binary
     move problem and accept improving flips. Returns the new labeling.

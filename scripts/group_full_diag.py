@@ -103,10 +103,13 @@ def main():
         # Fast-scale knee: lam=0.8 -> ratio 1.72 at CC 0.832/0.473,
         # lam=1.2 -> 1.62 at 0.803/0.423 (typical: 0.724/0.299).
         for lam in (0.3, 0.8):
+            key = f"hf_groupwise_lam{lam}"
+            if key in out:                      # resume across interrupts
+                print(f"hf groupwise lam={lam}: cached", flush=True)
+                continue
             t0 = time.perf_counter()
             cfg = _cfg(gw_text.replace("--lambda=0.3,0.3,0.3",
                                        f"--lambda={lam},{lam},{lam}"))
-            key = f"hf_groupwise_lam{lam}"
             out[key] = run_groupwise(meshes, datasets, template, cfg)
             out[key]["wall_s"] = round(time.perf_counter() - t0, 1)
             ratio = (out[key]["areal_mean"]

@@ -88,6 +88,33 @@ def build_problem(cp_res, data_res):
                                0.4, 1.6, 2.0)
         return jnp.where(folded, 1e7, 0.1 * jnp.power(st, 2.0))
 
+    # production protocol: the binary specialisation (2 gathered positions
+    # per corner selected into the 8 combos — model.triplet_combo_fn)
+    from newmsm_tpu.reg import costs as C
+    from newmsm_tpu.reg.optimise.fusion import _BITS
+
+    class _LT:
+        def __init__(self, t, cp, orig):
+            self.triplets = t
+            self.orig_cp = orig
+
+    def binary_fast(cur3, alpha):
+        lt = _LT(triplets, cp_coords, orig_cp)
+        combos = []
+        for corner in range(3):
+            v2 = jnp.stack(
+                [rl[triplets[:, corner], cur3[:, corner]],
+                 rl[triplets[:, corner],
+                    jnp.broadcast_to(alpha, cur3[:, 0].shape)]], axis=1)
+            bit = _BITS[:, corner]
+            combos.append(jnp.where(bit[None, :, None] == 1,
+                                    v2[:, 1:2], v2[:, 0:1]))
+        va, vb, vc = combos
+        return C.triplet_costs_from_positions(
+            va, vb, vc, cp_coords, lt, 0.1, 0.4, 1.6, 2.0, 2.0)
+
+    tfn.binary_fast = binary_fast
+
     return dict(K=K, L=L, T=trip.shape[0], unary=unary, triplets=triplets,
                 ftab=ftab, tfn=tfn, rl=rl)
 
@@ -110,6 +137,9 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     from newmsm_tpu.core.cache import enable_compile_cache
     enable_compile_cache()
+    if jax.default_backend() == "tpu":
+        from newmsm_tpu.ops.pallas_locate import ensure_validated
+        ensure_validated()
     cp_res = next((int(a.split("=")[1]) for a in sys.argv
                    if a.startswith("--cp=")), 4)
     data_res = next((int(a.split("=")[1]) for a in sys.argv

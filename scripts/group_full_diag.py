@@ -102,7 +102,7 @@ def main():
         # typical's (it must stay equal-or-better); report the ratio there.
         # Fast-scale knee: lam=0.8 -> ratio 1.72 at CC 0.832/0.473,
         # lam=1.2 -> 1.62 at 0.803/0.423 (typical: 0.724/0.299).
-        for lam in (0.3, 0.8):
+        for lam in (0.3, 0.8, 1.2):
             key = f"hf_groupwise_lam{lam}"
             if key in out:                      # resume across interrupts
                 print(f"hf groupwise lam={lam}: cached", flush=True)

@@ -8,13 +8,14 @@ objective buys above-published CC with above-published distortion. This
 script closes the item with BOTH of the verdict's suggested attacks, at
 FULL scale (S=6, ico-6) on the device:
 
-  lam    groupwise lambda extension sweep (0.4, 0.5; 0.3 is the round-4
-         parity_full.json row) on the standard cohort -> matched-CC
-         comparison data along the lambda curve.
+  lam    groupwise lambda extension point (0.5; 0.3 is the round-4
+         parity_full.json row) on the standard cohort -> trade-off-curve
+         data.
   hf     the confound-corrected cohort (synth_cohort(idio_band='hf'):
          idiosyncratic energy at 12-25 cycles/half-turn, non-alignable):
-         typical + groupwise(lambda=0.3) -> the ratio the reference's
-         published table actually measures.
+         typical + groupwise at lambda 0.3/0.8/1.2 -> the matched-CC
+         protocol. Round-5 result: lambda=1.2 ratio 1.638x at CC still
+         +0.08/+0.21 above typical (published reference: 1.53x).
 
 Writes group_full_diag.json; appends a summary to PARITY_RESULTS.md.
 tests/test_parity.py gates the hf-cohort ratio (nightly, device only).

@@ -316,43 +316,21 @@ def write_markdown(out, path):
         "Tracked per round; tests/test_parity.py enforces regression "
         "thresholds on the reduced-scale run.",
         "",
-        "## Round-4 full-scale notes (2026-08-21, one TPU v5e)",
-        "",
-        "- Synth cohort recalibrated this round (warp 9 deg, noise 0.45): "
-        "the UNREGISTERED start (CC sulc 0.50 / curv 0.07) now matches real "
-        "HCP cohorts instead of round 3's flattering 0.70/0.17, and the "
-        "typical row lands within a few percent of the reference's "
-        "published typical row on every column.",
-        "- Groupwise beats typical on every CC/DICE figure, by MORE than "
-        "the reference's published margins (curv CC +0.39 here vs +0.29 "
-        "published) — and spends 2.46x typical's areal distortion doing it "
-        "(published ratio: 1.53x). At the CI-gated reduced scale the "
-        "lambda sweep (scripts/sweep_group_lambda.py) reproduces the 1.5x "
-        "pattern at lambda=0.3, which tests/test_parity.py now gates at "
-        "<=1.75x. The full-scale overshoot tracks a synthetic-cohort "
-        "confound: the idiosyncratic per-subject folds are band-limited "
-        "smooth fields that are mutually alignable by warping, so the "
-        "groupwise objective is rewarded (in CC) for deformation that real "
-        "cortical anatomy would not repay — visible in the above-published "
-        "CC levels bought at above-published distortion. The lambda lever "
-        "(0.2-0.5 reference band) trades along this curve; raising it at "
-        "full scale is measured to reduce the ratio at equal CC at CI "
-        "scale and remains the recommended knob on real cohorts.",
-        "- No silent truncation anywhere: groupwise pmax pre-sized from "
-        "the exact level-init count in ONE rebuild per level "
-        "(2757/799/236 slots at levels 1-3); unary block-gather misses 0.",
-        "- MSMpair (regoption=1, FastPD path) at full HCP scale exposed a "
-        "remote-TPU worker kill inside 1000-sweep unfold dispatches — "
-        "fixed by chunked dispatches (ops/unfold.py), after which the "
-        "config completes end to end. Its row shows the expected character "
-        "of the legacy pairwise rotation penalty: better CC than the "
-        "strain config at far higher distortion (the penalty bounds label "
-        "rotation differences, not area/shape change — the published "
-        "motivation for MSM-strain's higher-order regulariser, "
-        "guide.md:56-73), so it is the compatibility path, not the "
-        "recommended one.",
-        "",
     ]
+    # preserve the hand-maintained analysis sections (round-4/5 notes,
+    # flagship rows, diagnosis writeups) that live after the tables: a
+    # regeneration must never clobber them (round-5 near-miss)
+    preserved = ""
+    try:
+        with open(path) as f:
+            old = f.read()
+        marker = "## Round-4 full-scale notes"
+        if marker in old:
+            preserved = old[old.index(marker):]
+    except FileNotFoundError:
+        pass
+    if preserved:
+        lines += [preserved.rstrip()]
     # drop empty strings produced by a missing optional row (they would
     # split the markdown table)
     cleaned = []
